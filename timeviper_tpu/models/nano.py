@@ -1,0 +1,490 @@
+"""Nemotron-H hybrid (Mamba-2 / attention / MLP) backbone — TPU-native.
+
+Functional re-design of the reference NemotronHModel/NemotronHForCausalLM
+(modeling_nano.py:383-2504): parameters are a pytree, the forward pass is a
+pure function with three jit-stable modes:
+
+* full-sequence (training / prefill): Mamba layers run the chunked SSD scan
+  (ops/ssd.py, the `mamba_chunk_scan_combined` equivalent), attention layers
+  run causal (optionally packed / segment-id) attention. Optionally fills a
+  fixed-shape cache for generation.
+* single-step decode: Mamba layers use the O(1) state update
+  (`selective_state_update` equivalent), attention layers append to a
+  fixed-capacity KV buffer.
+
+Layer pattern `M-*-` follows `hybrid_override_pattern`
+(configuration_nano.py:140). Attention has *no RoPE* (modeling_nano.py:1012).
+MLP is up→relu²→down (modeling_nano.py:971-994). pdrop/TransV live in
+models/pdrop.py and hook into the layer loop exactly as the reference does
+(modeling_nano.py:1634-1689).
+
+Weight layout notes (must byte-match the converter, SURVEY.md §7 hard part 5):
+in_proj packs `[gate(d_inner) | x(d_inner) | B(G*N) | C(G*N) | dt(H)]` along
+the output dim (modeling_nano.py:489-492: d_mlp==0 for this config).
+Linear kernels are stored (in, out); the converter transposes torch's (out, in).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from timeviper_tpu.config import NanoConfig
+from timeviper_tpu.ops.attention import attention, make_attention_mask
+from timeviper_tpu.ops.conv import (
+    causal_conv1d,
+    causal_conv1d_update,
+    init_conv_state,
+)
+from timeviper_tpu.ops.norms import gated_rms_norm, rms_norm
+from timeviper_tpu.ops.ssd import ssd_chunked, ssd_update_step
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _linear(key, d_in, d_out, dtype, std=0.02, bias=False):
+    p = {"kernel": (jax.random.normal(key, (d_in, d_out)) * std).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_mamba_mixer(key, cfg: NanoConfig, dtype) -> Dict[str, Any]:
+    ks = jax.random.split(key, 4)
+    d = cfg.hidden_size
+    d_inner = cfg.mamba_intermediate_size
+    conv_dim = cfg.conv_dim
+    H = cfg.mamba_num_heads
+    proj_size = d_inner + conv_dim + H
+    # dt_bias init: inverse-softplus of log-uniform dt (modeling_nano.py:1352-1366)
+    u = jax.random.uniform(ks[2], (H,))
+    dt = jnp.exp(
+        u * (math.log(cfg.time_step_max) - math.log(cfg.time_step_min))
+        + math.log(cfg.time_step_min)
+    )
+    dt = jnp.clip(dt, cfg.time_step_floor, None)
+    inv_dt = dt + jnp.log(-jnp.expm1(-dt))
+    return {
+        "in_proj": _linear(ks[0], d, proj_size, dtype, bias=cfg.use_bias),
+        "conv1d": {
+            "weight": (
+                jax.random.normal(ks[1], (conv_dim, cfg.mamba_d_conv)) * 0.1
+            ).astype(jnp.float32),
+            "bias": jnp.zeros((conv_dim,), jnp.float32)
+            if cfg.use_conv_bias
+            else None,
+        },
+        "dt_bias": inv_dt.astype(jnp.float32),
+        "A_log": jnp.log(jnp.arange(1, H + 1, dtype=jnp.float32)),
+        "D": jnp.ones((H,), jnp.float32),
+        "norm": {"weight": jnp.ones((d_inner,), jnp.float32)},
+        "out_proj": _linear(
+            ks[3], d_inner, d, dtype,
+            std=0.02 / math.sqrt(cfg.num_hidden_layers), bias=cfg.use_bias,
+        ),
+    }
+
+
+def init_attention_mixer(key, cfg: NanoConfig, dtype) -> Dict[str, Any]:
+    ks = jax.random.split(key, 4)
+    d = cfg.hidden_size
+    hd = cfg.head_dim
+    return {
+        "q_proj": _linear(ks[0], d, cfg.num_attention_heads * hd, dtype,
+                          bias=cfg.attention_bias),
+        "k_proj": _linear(ks[1], d, cfg.num_key_value_heads * hd, dtype,
+                          bias=cfg.attention_bias),
+        "v_proj": _linear(ks[2], d, cfg.num_key_value_heads * hd, dtype,
+                          bias=cfg.attention_bias),
+        "o_proj": _linear(ks[3], cfg.num_attention_heads * hd, d, dtype,
+                          bias=cfg.attention_bias),
+    }
+
+
+def init_mlp_mixer(key, cfg: NanoConfig, dtype) -> Dict[str, Any]:
+    ks = jax.random.split(key, 2)
+    return {
+        "up_proj": _linear(ks[0], cfg.hidden_size, cfg.intermediate_size,
+                           dtype, bias=cfg.mlp_bias),
+        "down_proj": _linear(ks[1], cfg.intermediate_size, cfg.hidden_size,
+                             dtype, bias=cfg.mlp_bias),
+    }
+
+
+def init_nano_params(key, cfg: NanoConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    layers: List[Dict[str, Any]] = []
+    for i, block_type in enumerate(cfg.layers_block_type):
+        init_fn = {
+            "mamba": init_mamba_mixer,
+            "attention": init_attention_mixer,
+            "mlp": init_mlp_mixer,
+        }[block_type]
+        layers.append({
+            "norm": {"weight": jnp.ones((cfg.hidden_size,), jnp.float32)},
+            "mixer": init_fn(keys[i], cfg, dtype),
+        })
+    params = {
+        "embeddings": (
+            jax.random.normal(keys[-3], (cfg.vocab_size, cfg.hidden_size)) * 0.02
+        ).astype(dtype),
+        "layers": layers,
+        "norm_f": {"weight": jnp.ones((cfg.hidden_size,), jnp.float32)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _linear(keys[-2], cfg.hidden_size, cfg.vocab_size, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Layer applies
+# ---------------------------------------------------------------------------
+
+
+def _apply_linear(p, x, precision=None):
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
+                   precision=precision)
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def mamba_mixer_forward(
+    p: Dict[str, Any],
+    cfg: NanoConfig,
+    x: jax.Array,
+    seq_idx: Optional[jax.Array] = None,
+    cache_layer: Optional[Dict[str, Any]] = None,
+    fill_cache: bool = False,
+) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
+    """Full-sequence Mamba-2 mixer (training / prefill).
+
+    x: (B, L, D). When `fill_cache`, also returns the decode cache entry.
+    Mirrors cuda_kernels_forward's fused path (modeling_nano.py:560-667) with
+    seq_idx honoured in prefill too (fixing the reference defect at :648).
+    """
+    B, L, _ = x.shape
+    d_inner = cfg.mamba_intermediate_size
+    G, N, H, P = (cfg.mamba_n_groups, cfg.ssm_state_size,
+                  cfg.mamba_num_heads, cfg.mamba_head_dim)
+
+    projected = _apply_linear(p["in_proj"], x)
+    gate, xBC, dt = jnp.split(projected, [d_inner, d_inner + cfg.conv_dim], axis=-1)
+
+    new_cache = None
+    if fill_cache:
+        new_cache = {"conv_state": init_conv_state(xBC, cfg.mamba_d_conv)}
+
+    xBC = causal_conv1d(
+        xBC, p["conv1d"]["weight"], p["conv1d"]["bias"],
+        activation=cfg.mamba_hidden_act, seq_idx=seq_idx,
+    )
+    xs, B_, C = jnp.split(xBC, [d_inner, d_inner + G * N], axis=-1)
+
+    y, final_state = ssd_chunked(
+        xs.reshape(B, L, H, P),
+        dt,
+        -jnp.exp(p["A_log"]),
+        B_.reshape(B, L, G, N),
+        C.reshape(B, L, G, N),
+        chunk_size=cfg.chunk_size,
+        D=p["D"],
+        dt_bias=p["dt_bias"],
+        dt_softplus=True,
+        dt_limit=cfg.time_step_limit,
+        seq_idx=seq_idx,
+        return_final_state=True,
+    )
+    if fill_cache:
+        new_cache["ssm_state"] = final_state
+    y = y.reshape(B, L, d_inner)
+    y = gated_rms_norm(
+        y, gate, p["norm"]["weight"], eps=cfg.layer_norm_epsilon,
+        group_size=d_inner // G,
+    )
+    return _apply_linear(p["out_proj"], y), new_cache
+
+
+def mamba_mixer_decode(
+    p: Dict[str, Any],
+    cfg: NanoConfig,
+    x: jax.Array,
+    cache_layer: Dict[str, Any],
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Single-token decode (modeling_nano.py:484-546). x: (B, 1, D)."""
+    B = x.shape[0]
+    d_inner = cfg.mamba_intermediate_size
+    G, N, H, P = (cfg.mamba_n_groups, cfg.ssm_state_size,
+                  cfg.mamba_num_heads, cfg.mamba_head_dim)
+
+    projected = _apply_linear(p["in_proj"], x[:, 0])
+    gate, xBC, dt = jnp.split(projected, [d_inner, d_inner + cfg.conv_dim], axis=-1)
+    xBC, conv_state = causal_conv1d_update(
+        xBC, cache_layer["conv_state"], p["conv1d"]["weight"],
+        p["conv1d"]["bias"], activation=cfg.mamba_hidden_act,
+    )
+    xs, B_, C = jnp.split(xBC, [d_inner, d_inner + G * N], axis=-1)
+    y, ssm_state = ssd_update_step(
+        cache_layer["ssm_state"],
+        xs.reshape(B, H, P),
+        dt,
+        -jnp.exp(p["A_log"]),
+        B_.reshape(B, G, N),
+        C.reshape(B, G, N),
+        D=p["D"],
+        dt_bias=p["dt_bias"],
+        dt_softplus=True,
+        dt_limit=cfg.time_step_limit,
+    )
+    y = y.reshape(B, d_inner)
+    y = gated_rms_norm(
+        y, gate, p["norm"]["weight"], eps=cfg.layer_norm_epsilon,
+        group_size=d_inner // G,
+    )
+    out = _apply_linear(p["out_proj"], y)
+    return out[:, None, :], {"conv_state": conv_state, "ssm_state": ssm_state}
+
+
+def attention_mixer_forward(
+    p: Dict[str, Any],
+    cfg: NanoConfig,
+    x: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+    cache_layer: Optional[Dict[str, Any]] = None,
+    fill_cache: bool = False,
+    max_len: int = 0,
+) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
+    """Prefill/training attention; optionally writes the KV cache."""
+    B, L, _ = x.shape
+    Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = _apply_linear(p["q_proj"], x).reshape(B, L, Hq, hd)
+    k = _apply_linear(p["k_proj"], x).reshape(B, L, Hkv, hd)
+    v = _apply_linear(p["v_proj"], x).reshape(B, L, Hkv, hd)
+
+    mask = attn_mask
+    if mask is None:
+        mask = make_attention_mask(
+            L, L, causal=True,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+        )
+    out = attention(q, k, v, mask)
+    out = _apply_linear(p["o_proj"], out.reshape(B, L, Hq * hd))
+
+    new_cache = None
+    if fill_cache:
+        assert max_len >= L, (max_len, L)
+        pad = max_len - L
+        new_cache = {
+            "k": jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))),
+            "v": jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))),
+        }
+    return out, new_cache
+
+
+def attention_mixer_decode(
+    p: Dict[str, Any],
+    cfg: NanoConfig,
+    x: jax.Array,
+    cache_layer: Dict[str, Any],
+    length: jax.Array,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Single-token decode against the fixed-capacity KV buffer."""
+    B = x.shape[0]
+    Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = _apply_linear(p["q_proj"], x).reshape(B, 1, Hq, hd)
+    k_new = _apply_linear(p["k_proj"], x).reshape(B, 1, Hkv, hd)
+    v_new = _apply_linear(p["v_proj"], x).reshape(B, 1, Hkv, hd)
+    k = jax.lax.dynamic_update_slice(
+        cache_layer["k"], k_new.astype(cache_layer["k"].dtype), (0, length, 0, 0)
+    )
+    v = jax.lax.dynamic_update_slice(
+        cache_layer["v"], v_new.astype(cache_layer["v"].dtype), (0, length, 0, 0)
+    )
+    max_len = k.shape[1]
+    kv_valid = (jnp.arange(max_len)[None, :] <= length)
+    out = attention(q, k, v, kv_valid[:, None, :])
+    out = _apply_linear(p["o_proj"], out.reshape(B, 1, Hq * hd))
+    return out, {"k": k, "v": v}
+
+
+def mlp_mixer_forward(p: Dict[str, Any], cfg: NanoConfig, x: jax.Array) -> jax.Array:
+    """up → relu² → down (modeling_nano.py:971-994)."""
+    h = _apply_linear(p["up_proj"], x)
+    h = jnp.square(jax.nn.relu(h))
+    return _apply_linear(p["down_proj"], h)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+def _block_forward(
+    layer_params, cfg, block_type, hidden, *, seq_idx, attn_mask,
+    cache_layer, fill_cache, max_len,
+):
+    residual = hidden
+    normed = rms_norm(hidden, layer_params["norm"]["weight"],
+                      eps=cfg.layer_norm_epsilon)
+    new_cache = None
+    if block_type == "mamba":
+        out, new_cache = mamba_mixer_forward(
+            layer_params["mixer"], cfg, normed, seq_idx=seq_idx,
+            fill_cache=fill_cache,
+        )
+    elif block_type == "attention":
+        out, new_cache = attention_mixer_forward(
+            layer_params["mixer"], cfg, normed, attn_mask=attn_mask,
+            fill_cache=fill_cache, max_len=max_len,
+        )
+    else:
+        out = mlp_mixer_forward(layer_params["mixer"], cfg, normed)
+    return residual + out, new_cache
+
+
+def nano_forward(
+    params: Dict[str, Any],
+    cfg: NanoConfig,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    seq_idx: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,
+    fill_cache: bool = False,
+    cache_max_len: int = 0,
+    remat: bool = False,
+    pdrop_spec=None,
+    pdrop_params=None,
+    labels: Optional[jax.Array] = None,
+    logits_to_keep: int = 0,
+):
+    """Full-sequence forward (training / prefill).
+
+    Returns dict with `hidden_states`, `logits`, and when `fill_cache` a
+    `cache` pytree ready for decode; when `pdrop_spec` is given, also the
+    pdrop-updated `labels` (reference returns updated labels the same way,
+    modeling_nano.py:2425-2446).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embeddings"], input_ids, axis=0)
+    hidden = inputs_embeds
+    B, L, _ = hidden.shape
+
+    attn_mask = None
+    if seq_idx is not None:
+        attn_mask = make_attention_mask(
+            L, L, causal=True, q_segment_ids=seq_idx, kv_segment_ids=seq_idx,
+        )
+    elif attention_mask is not None:
+        # 2D padding mask -> causal+padding
+        attn_mask = make_attention_mask(L, L, causal=True,
+                                        kv_valid=attention_mask.astype(bool))
+
+    new_layers = []
+    from timeviper_tpu.models.pdrop import apply_pdrop_stage  # lazy, avoids cycle
+
+    stages = cfg.pdrop_stages if pdrop_spec is not None else ()
+    stage_by_layer = {s.layer: (i, s) for i, s in enumerate(stages)}
+
+    for idx, block_type in enumerate(cfg.layers_block_type):
+        if idx in stage_by_layer and pdrop_spec is not None:
+            stage_idx, stage = stage_by_layer[idx]
+            hidden, labels, seq_idx, pdrop_spec = apply_pdrop_stage(
+                hidden, labels, seq_idx, pdrop_spec, stage, stage_idx,
+                cfg=cfg,
+                attn_params=params["layers"][idx]["mixer"]
+                if stage.compress_type == "attn" else None,
+                merge_params=pdrop_params,
+            )
+            L = hidden.shape[1]
+            attn_mask = None
+            if seq_idx is not None:
+                attn_mask = make_attention_mask(
+                    L, L, causal=True,
+                    q_segment_ids=seq_idx, kv_segment_ids=seq_idx,
+                )
+        layer_params = params["layers"][idx]
+
+        def fwd(lp, h, s_idx, a_mask, _bt=block_type):
+            return _block_forward(
+                lp, cfg, _bt, h, seq_idx=s_idx, attn_mask=a_mask,
+                cache_layer=None, fill_cache=fill_cache, max_len=cache_max_len,
+            )
+
+        if remat and not fill_cache:
+            fwd = jax.checkpoint(fwd)
+        hidden, layer_cache = fwd(layer_params, hidden, seq_idx, attn_mask)
+        new_layers.append(layer_cache if layer_cache is not None else {})
+
+    hidden = rms_norm(hidden, params["norm_f"]["weight"],
+                      eps=cfg.layer_norm_epsilon)
+
+    if logits_to_keep:
+        hidden_for_logits = hidden[:, -logits_to_keep:]
+    else:
+        hidden_for_logits = hidden
+    logits = compute_logits(params, hidden_for_logits)
+
+    out = {"hidden_states": hidden, "logits": logits, "labels": labels}
+    if fill_cache:
+        out["cache"] = {
+            "layers": new_layers,
+            "length": jnp.asarray(L, jnp.int32),
+        }
+    return out
+
+
+def compute_logits(params, hidden):
+    """lm_head in float32 (modeling_nano.py:2428-2433)."""
+    kernel = (
+        params["lm_head"]["kernel"]
+        if "lm_head" in params
+        else params["embeddings"].T
+    )
+    return jnp.einsum(
+        "...d,dv->...v", hidden.astype(jnp.float32),
+        kernel.astype(jnp.float32),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def nano_decode_step(
+    params: Dict[str, Any],
+    cfg: NanoConfig,
+    input_ids: jax.Array,
+    cache: Dict[str, Any],
+):
+    """One decode step. input_ids: (B, 1). Returns (logits (B, V), cache)."""
+    hidden = jnp.take(params["embeddings"], input_ids, axis=0)
+    length = cache["length"]
+    new_layers = []
+    for idx, block_type in enumerate(cfg.layers_block_type):
+        layer_params = params["layers"][idx]
+        residual = hidden
+        normed = rms_norm(hidden, layer_params["norm"]["weight"],
+                          eps=cfg.layer_norm_epsilon)
+        if block_type == "mamba":
+            out, lc = mamba_mixer_decode(
+                layer_params["mixer"], cfg, normed, cache["layers"][idx]
+            )
+        elif block_type == "attention":
+            out, lc = attention_mixer_decode(
+                layer_params["mixer"], cfg, normed, cache["layers"][idx], length
+            )
+        else:
+            out = mlp_mixer_forward(layer_params["mixer"], cfg, normed)
+            lc = {}
+        hidden = residual + out
+        new_layers.append(lc)
+    hidden = rms_norm(hidden, params["norm_f"]["weight"],
+                      eps=cfg.layer_norm_epsilon)
+    logits = compute_logits(params, hidden[:, 0])
+    return logits, {"layers": new_layers, "length": length + 1}

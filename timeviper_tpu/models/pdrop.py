@@ -1,0 +1,282 @@
+"""pdrop (PyramidDrop) + TransV token transfer — in-graph, static shapes.
+
+TPU redesign of the reference's mid-network visual-token dropping
+(modeling_nano.py:1634-1689, flash_rank_drop :2156-2204, pdrop_no_pack
+:1779-2095, merge_dropped_information :1748-1777) and the TransV
+cross-attention merge (merge_modules/cross_attention.py:218-324).
+
+The reference rebuilds python lists of tensors per layer (dynamic shapes).
+Here the key observation (SURVEY.md §7 hard part 3) is that drop ratios are
+*static config*, so every pdrop stage has a fixed output length: keep counts
+are `int(num_vision * ratio)` computed in Python, and each stage is a
+`top_k` + `gather` producing a new static sequence length. The sample layout
+(`vision_start`, `num_vision`, `text_suffix`) is trace-time static; XLA
+compiles one executable per layout bucket.
+
+Sequence layout per sample: [prefix text | visual tokens | suffix text].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from timeviper_tpu.config import PdropStage
+from timeviper_tpu.ops.attention import cross_attention
+
+
+@dataclass(frozen=True)
+class PdropSampleSpec:
+    """Static layout of one (possibly packed) sample at the CURRENT stage."""
+
+    vision_start: int  # tokens before the visual block
+    num_vision: int  # visual tokens at the current stage
+    text_suffix: int  # tokens after the visual block
+    # static query position for "attn" ranking at inference: index of the last
+    # prompt token within the sample (reference modeling_nano.py:1906-1917).
+    # None => derive from labels (training; last token before first answer
+    # span, :1886-1905).
+    query_pos: Optional[int] = None
+
+    @property
+    def length(self) -> int:
+        return self.vision_start + self.num_vision + self.text_suffix
+
+
+@dataclass(frozen=True)
+class PdropSpec:
+    samples: Tuple[PdropSampleSpec, ...]
+    # original vision counts (ratio 1.0) per sample — keep counts derive from
+    # these so cumulative ratios match the reference (pdrop_ratios[cur] vs
+    # [cur+1], modeling_nano.py:1789-1802)
+    orig_num_vision: Tuple[int, ...]
+    ratios: Tuple[float, ...]  # [1.0, r1, r2, ...]
+
+    @property
+    def total_length(self) -> int:
+        return sum(s.length for s in self.samples)
+
+
+def make_pdrop_spec(
+    samples: List[Tuple[int, int, int]],
+    stages: Tuple[PdropStage, ...],
+    query_positions: Optional[List[Optional[int]]] = None,
+) -> PdropSpec:
+    """samples: list of (vision_start, num_vision, text_suffix)."""
+    qp = query_positions or [None] * len(samples)
+    return PdropSpec(
+        samples=tuple(
+            PdropSampleSpec(vs, nv, ts, q)
+            for (vs, nv, ts), q in zip(samples, qp)
+        ),
+        orig_num_vision=tuple(nv for _, nv, _ in samples),
+        ratios=(1.0,) + tuple(s.ratio for s in stages),
+    )
+
+
+def _rank_scores_attn(
+    sample_hidden: jax.Array,  # (Ls, D) — this sample's hidden states
+    attn_params: Dict[str, Any],
+    cfg,
+    query_pos,  # scalar int (static or traced)
+    vision_start: int,
+    num_vision: int,
+) -> jax.Array:
+    """Attention ranking: mean over heads of the last instruction token's
+    attention to each visual token (modeling_nano.py:1820-1945).
+
+    Uses the *current layer's* q/k projections on stop-gradient features.
+    """
+    h = jax.lax.stop_gradient(sample_hidden)
+    Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    Ls = h.shape[0]
+
+    def proj(p, x):
+        y = x @ p["kernel"].astype(x.dtype)
+        if p.get("bias") is not None:
+            y = y + p["bias"].astype(y.dtype)
+        return y
+
+    qh = proj(attn_params["q_proj"], h[None, query_pos])  # (1, Hq*hd)
+    k = proj(attn_params["k_proj"], h)  # (Ls, Hkv*hd)
+    qh = qh.reshape(Hq, hd).astype(jnp.float32)
+    k = k.reshape(Ls, Hkv, hd).astype(jnp.float32)
+    k = jnp.repeat(k, Hq // Hkv, axis=1)  # (Ls, Hq, hd)
+    logits = jnp.einsum("hd,lhd->hl", qh, k) / jnp.sqrt(float(hd))
+    causal = jnp.arange(Ls) <= query_pos
+    logits = jnp.where(causal[None, :], logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)  # (Hq, Ls)
+    scores = probs.mean(axis=0)  # mean over heads
+    return jax.lax.dynamic_slice(scores, (vision_start,), (num_vision,))
+
+
+def _training_query_pos(sample_labels: jax.Array) -> jax.Array:
+    """Last token whose label is IGNORE and whose successor is a real label
+    (the token right before the final answer span, modeling_nano.py:1886-1905).
+    """
+    L = sample_labels.shape[0]
+    is_ans = sample_labels != -100
+    prev_ign = jnp.concatenate([jnp.array([True]), ~is_ans[:-1]])
+    starts = is_ans & prev_ign  # positions where an answer span starts
+    idx = jnp.arange(L)
+    last_start = jnp.max(jnp.where(starts, idx, -1))
+    return jnp.maximum(last_start - 1, 0)
+
+
+def _merge_dropped(
+    text_feats: jax.Array,  # (T, D)
+    dropped_feats: jax.Array,  # (Nd, D)
+    merge_stage_params: Dict[str, Any],
+    cfg,
+) -> jax.Array:
+    """TransV: text queries cross-attend onto dropped visual tokens, gated by
+    alpha.tanh() (modeling_nano.py:1748-1777)."""
+    p = merge_stage_params["cross_attn"]
+    Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def proj(pp, x):
+        y = x @ pp["kernel"].astype(x.dtype)
+        if pp.get("bias") is not None:
+            y = y + pp["bias"].astype(y.dtype)
+        return y
+
+    T = text_feats.shape[0]
+    Nd = dropped_feats.shape[0]
+    q = proj(p["q_proj"], text_feats).reshape(1, T, Hq, hd)
+    k = proj(p["k_proj"], dropped_feats).reshape(1, Nd, Hkv, hd)
+    v = proj(p["v_proj"], dropped_feats).reshape(1, Nd, Hkv, hd)
+    out = cross_attention(q, k, v)
+    out = proj(p["o_proj"], out.reshape(T, Hq * hd))
+    alpha = merge_stage_params["alpha"].astype(text_feats.dtype)
+    return text_feats + jnp.tanh(alpha) * out
+
+
+def apply_pdrop_stage(
+    hidden: jax.Array,  # (1, L, D)
+    labels: Optional[jax.Array],  # (1, L) or None
+    seq_idx: Optional[jax.Array],  # (1, L) or None
+    spec: PdropSpec,
+    stage: PdropStage,
+    stage_idx: int,
+    *,
+    cfg,
+    attn_params: Optional[Dict[str, Any]],
+    merge_params: Optional[List[Optional[Dict[str, Any]]]],
+):
+    """Run one pdrop stage over every sample in the packed row.
+
+    Returns (hidden, labels, seq_idx, new_spec) with the new static length.
+    """
+    assert hidden.shape[0] == 1, "pdrop operates on packed batch=1 rows"
+    D = hidden.shape[-1]
+    ratios = spec.ratios
+    new_samples = []
+    h_parts, l_parts, s_parts = [], [], []
+    offset = 0
+    stage_merge = None
+    if merge_params is not None and stage_idx < len(merge_params):
+        stage_merge = merge_params[stage_idx]
+
+    for si, samp in enumerate(spec.samples):
+        Ls = samp.length
+        cur_nv = samp.num_vision
+        keep = int(spec.orig_num_vision[si] * ratios[stage_idx + 1])
+        keep = min(keep, cur_nv)
+        sh = jax.lax.dynamic_slice_in_dim(hidden[0], offset, Ls, axis=0)
+        sl = (
+            jax.lax.dynamic_slice_in_dim(labels[0], offset, Ls, axis=0)
+            if labels is not None else None
+        )
+
+        if stage.compress_type == "uni":
+            lin = jnp.linspace(0, cur_nv - 1, keep)
+            keep_idx = jnp.asarray(lin, jnp.int32)
+        elif stage.compress_type == "attn":
+            if samp.query_pos is not None:
+                qpos = samp.query_pos
+            else:
+                assert sl is not None, "training attn-pdrop needs labels"
+                qpos = _training_query_pos(sl)
+            scores = _rank_scores_attn(
+                sh, attn_params, cfg, qpos, samp.vision_start, cur_nv
+            )
+            _, keep_idx = jax.lax.top_k(scores, keep)
+            keep_idx = jnp.sort(keep_idx)
+        else:
+            raise NotImplementedError(stage.compress_type)
+
+        vision = jax.lax.dynamic_slice_in_dim(
+            sh, samp.vision_start, cur_nv, axis=0
+        )
+        kept_vision = jnp.take(vision, keep_idx, axis=0)
+        prefix = sh[: samp.vision_start]
+        suffix = sh[samp.vision_start + cur_nv :]
+
+        if stage_merge is not None and keep < cur_nv:
+            # complement indices, static count (cur_nv - keep)
+            kept_mask = jnp.zeros((cur_nv,), jnp.int32).at[keep_idx].set(1)
+            dropped_idx = jnp.argsort(kept_mask, stable=True)[: cur_nv - keep]
+            dropped_idx = jnp.sort(dropped_idx)
+            dropped = jnp.take(vision, dropped_idx, axis=0)
+            suffix = _merge_dropped(suffix, dropped, stage_merge, cfg)
+
+        h_parts.append(jnp.concatenate([prefix, kept_vision, suffix], axis=0))
+        if sl is not None:
+            l_parts.append(
+                jnp.concatenate(
+                    [sl[: samp.vision_start],
+                     jnp.take(sl, samp.vision_start + keep_idx, axis=0),
+                     sl[samp.vision_start + cur_nv :]], axis=0)
+            )
+        new_len = samp.vision_start + keep + samp.text_suffix
+        new_qp = samp.query_pos
+        if new_qp is not None:
+            new_qp = new_qp - (cur_nv - keep)
+        new_samples.append(replace(samp, num_vision=keep, query_pos=new_qp))
+        s_parts.append(jnp.full((new_len,), si, jnp.int32))
+        offset += Ls
+
+    new_hidden = jnp.concatenate(h_parts, axis=0)[None]
+    new_labels = jnp.concatenate(l_parts, axis=0)[None] if l_parts else None
+    new_seq_idx = (
+        jnp.concatenate(s_parts, axis=0)[None] if seq_idx is not None else None
+    )
+    new_spec = replace(spec, samples=tuple(new_samples))
+    return new_hidden, new_labels, new_seq_idx, new_spec
+
+
+def init_merge_modules(key, cfg, dtype=jnp.bfloat16):
+    """TransV merge module params: one cross-attention + alpha gate per
+    non-"drop" pdrop stage (modeling_nano.py:1481-1523)."""
+    if cfg.merge_module != "CrossAttention":
+        return None
+    stages = cfg.pdrop_stages
+    mods: List[Optional[Dict[str, Any]]] = []
+    ks = jax.random.split(key, max(len(stages), 1))
+    d = cfg.hidden_size
+    hd = cfg.head_dim
+    for i, stage in enumerate(stages):
+        if "drop" in stage.compress_type:
+            mods.append(None)
+            continue
+        kk = jax.random.split(ks[i], 4)
+
+        def lin(k_, din, dout):
+            p = {"kernel": (jax.random.normal(k_, (din, dout)) * 0.02).astype(dtype)}
+            if cfg.attention_bias:
+                p["bias"] = jnp.zeros((dout,), dtype)
+            return p
+
+        mods.append({
+            "cross_attn": {
+                "q_proj": lin(kk[0], d, cfg.num_attention_heads * hd),
+                "k_proj": lin(kk[1], d, cfg.num_key_value_heads * hd),
+                "v_proj": lin(kk[2], d, cfg.num_key_value_heads * hd),
+                "o_proj": lin(kk[3], cfg.num_attention_heads * hd, d),
+            },
+            "alpha": jnp.zeros((), jnp.float32),
+        })
+    return mods
