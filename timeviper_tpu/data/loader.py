@@ -1,0 +1,159 @@
+"""Batch assembly + device feeding.
+
+Replaces Qwen2VLCollator + the HF DataLoader plumbing (reference:
+timeviper/data/data.py:598-671, train_utils.py:604-628) with a TPU-shaped
+design: every batch is padded to a *length bucket* so XLA compiles a handful
+of programs, and the host->device copy is double-buffered so decode/encode
+overlaps with compute (SURVEY.md §2.2 N8).
+
+`collate` turns dataset items (numpy dicts from data/datasets.py) into
+(batch arrays, FusionPlan). All rows of a batch must share a fusion layout —
+guaranteed when pack_size and the frame budget are fixed, which is how the
+reference trains (PackedDataset w/ fixed pack_size, data.py:535-590).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from timeviper_tpu.data.datasets import IGNORE_INDEX
+from timeviper_tpu.data.fusion import FusionPlan, fuse_labels, plan_fusion
+
+
+def pad_to(x: np.ndarray, length: int, value) -> np.ndarray:
+    if x.shape[0] >= length:
+        return x[:length]
+    pad = [(0, length - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad, constant_values=value)
+
+
+@dataclass
+class CollatedBatch:
+    batch: Dict[str, np.ndarray]
+    plan: FusionPlan
+
+
+def collate(
+    items: Sequence[Dict[str, Any]],
+    image_token_id: int,
+    tokens_per_frame: int,
+    pad_token_id: int = 0,
+) -> CollatedBatch:
+    """Stack items into a batch sharing one FusionPlan.
+
+    Items must have identical input_ids length & frame count (the packed
+    training regime); the plan is computed from row 0.
+    """
+    first = items[0]
+    txt_seq_lens = first.get("txt_seq_lens")
+    plan = plan_fusion(
+        first["input_ids"], image_token_id, tokens_per_frame, txt_seq_lens
+    )
+    ids, labels, pixels = [], [], []
+    for it in items:
+        assert len(it["input_ids"]) == plan.text_len, (
+            "all rows in a batch must share the fusion layout",
+            len(it["input_ids"]), plan.text_len,
+        )
+        row_ids = np.where(
+            it["input_ids"] == image_token_id, pad_token_id, it["input_ids"]
+        ).astype(np.int32)
+        ids.append(row_ids)
+        labels.append(fuse_labels(plan, it["labels"]))
+        if it.get("pixels") is not None:
+            pixels.append(it["pixels"])
+    batch = {
+        "input_ids": np.stack(ids),
+        "labels": np.stack(labels).astype(np.int32),
+    }
+    if pixels:
+        batch["pixels"] = np.stack(pixels)
+    return CollatedBatch(batch=batch, plan=plan)
+
+
+class DataLoader:
+    """Minimal multithreaded loader: prefetches `prefetch` collated batches
+    on background threads (video decode is the bottleneck; threads suffice
+    because decode releases the GIL in ffmpeg/PIL)."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        image_token_id: int,
+        tokens_per_frame: int,
+        pad_token_id: int = 0,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.image_token_id = image_token_id
+        self.tokens_per_frame = tokens_per_frame
+        self.pad_token_id = pad_token_id
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_batches(self, epoch: int) -> List[List[int]]:
+        idxs = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(idxs)
+        batches = [
+            idxs[i : i + self.batch_size].tolist()
+            for i in range(0, len(idxs), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    def epoch(self, epoch: int = 0) -> Iterator[CollatedBatch]:
+        batches = self._index_batches(epoch)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker(worker_id: int):
+            for bi in range(worker_id, len(batches), self.num_workers):
+                if stop.is_set():
+                    return
+                items = [self.dataset[i] for i in batches[bi]]
+                cb = collate(
+                    items, self.image_token_id, self.tokens_per_frame,
+                    self.pad_token_id,
+                )
+                q.put((bi, cb))
+            q.put((None, None))
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        done = 0
+        try:
+            # emit in arrival order (batches are iid; order is irrelevant)
+            while done < self.num_workers:
+                bi, cb = q.get()
+                if bi is None:
+                    done += 1
+                    continue
+                yield cb
+        finally:
+            stop.set()

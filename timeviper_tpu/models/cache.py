@@ -29,10 +29,14 @@ def init_nano_cache(cfg, batch_size: int, max_len: int, dtype=jnp.bfloat16) -> D
     N = cfg.ssm_state_size
     for block_type in cfg.layers_block_type:
         if block_type == "mamba":
+            gn = cfg.mamba_n_groups * cfg.ssm_state_size
+            d_inner = cfg.mamba_intermediate_size
             layers.append({
-                "conv_state": jnp.zeros(
-                    (batch_size, cfg.conv_dim, cfg.mamba_d_conv), dtype
-                ),
+                "conv_state": {
+                    "x": jnp.zeros((batch_size, d_inner, cfg.mamba_d_conv), dtype),
+                    "B": jnp.zeros((batch_size, gn, cfg.mamba_d_conv), dtype),
+                    "C": jnp.zeros((batch_size, gn, cfg.mamba_d_conv), dtype),
+                },
                 "ssm_state": jnp.zeros((batch_size, H, P, N), jnp.float32),
             })
         elif block_type == "attention":
@@ -48,7 +52,13 @@ def init_nano_cache(cfg, batch_size: int, max_len: int, dtype=jnp.bfloat16) -> D
             })
         else:
             layers.append({})
-    return {"layers": layers, "length": jnp.zeros((), jnp.int32)}
+    return {
+        "layers": layers,
+        "length": jnp.zeros((), jnp.int32),
+        # first valid KV slot (> 0 when the prefill was left-padded to a
+        # length bucket; pad slots must never be attended)
+        "valid_from": jnp.zeros((), jnp.int32),
+    }
 
 
 def init_qwen2_cache(cfg, batch_size: int, max_len: int, dtype=jnp.bfloat16) -> Dict[str, Any]:
@@ -63,7 +73,11 @@ def init_qwen2_cache(cfg, batch_size: int, max_len: int, dtype=jnp.bfloat16) -> 
         }
         for _ in range(cfg.num_hidden_layers)
     ]
-    return {"layers": layers, "length": jnp.zeros((), jnp.int32)}
+    return {
+        "layers": layers,
+        "length": jnp.zeros((), jnp.int32),
+        "valid_from": jnp.zeros((), jnp.int32),
+    }
 
 
 def cache_max_len(cache) -> int:

@@ -1,0 +1,241 @@
+"""Generation engine: jit-compiled bucketed prefill + fused decode loop.
+
+TPU re-design of the reference's HF GenerationMixin path
+(generic_vlm.py:744-848 + HybridMambaAttentionDynamicCache): instead of a
+python decode loop over a dynamically-growing cache, generation is
+
+  1. host: tokenize, plan fusion (data/fusion.py), pick a length bucket;
+  2. device: ONE jitted prefill (vision encode chunked into clips →
+     projector → fused LLM forward filling a fixed-capacity cache);
+  3. device: ONE jitted `lax.while_loop` decode that samples, appends, and
+     stops on any terminator id (llm_registry.py init hooks) or max tokens.
+
+Length buckets avoid per-prompt recompiles: the fused row is LEFT-padded to
+the bucket with pad ids carrying segment id -1, so Mamba states reset at the
+real start (state through pads stays zero) and attention never sees pads
+(segment mismatch + cache `valid_from`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timeviper_tpu.data.fusion import FusionPlan, plan_fusion
+from timeviper_tpu.models.vlm import (
+    VLMArch,
+    decode_step,
+    encode_visual,
+    vlm_forward,
+)
+from timeviper_tpu.ops.sampling import SamplingParams, sample_token
+
+DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+
+
+def pick_bucket(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return n
+
+
+@dataclasses.dataclass
+class GenerationOutput:
+    token_ids: np.ndarray  # (num_generated,) includes terminator if emitted
+    num_generated: int
+
+
+class Generator:
+    """Holds jitted executables, keyed by static bucket shapes."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        arch: VLMArch,
+        *,
+        terminator_ids: Sequence[int],
+        pad_token_id: int = 0,
+        max_new_tokens: int = 128,
+        sampling: SamplingParams = SamplingParams(),
+        clip_size: int = 256,
+        cache_dtype=jnp.bfloat16,
+    ) -> None:
+        self.params = params
+        self.arch = arch
+        self.terminators = tuple(int(t) for t in terminator_ids)
+        self.pad_token_id = pad_token_id
+        self.max_new_tokens = max_new_tokens
+        self.sampling = sampling
+        self.clip_size = clip_size
+        self.cache_dtype = cache_dtype
+        self._prefill_fns: Dict[Tuple, Any] = {}
+        self._decode_fn = None
+        self._encode_fns: Dict[int, Any] = {}
+
+    # -- vision ----------------------------------------------------------
+
+    def encode_frames(self, pixels: np.ndarray) -> jax.Array:
+        """(F, H, W, 3) -> (F*tokens_per_frame, D); clip-chunked like the
+        reference eval path (generic_vlm.py:274-281)."""
+        F = pixels.shape[0]
+        outs = []
+        for s in range(0, F, self.clip_size):
+            clip = pixels[s : s + self.clip_size]
+            n = clip.shape[0]
+            if n not in self._encode_fns:
+                self._encode_fns[n] = jax.jit(
+                    partial(encode_visual, arch=self.arch)
+                )
+            outs.append(self._encode_fns[n](self.params, pixels=jnp.asarray(clip)))
+        ve = jnp.concatenate(outs, axis=0)
+        return ve.reshape(-1, ve.shape[-1])
+
+    # -- prefill ---------------------------------------------------------
+
+    def _get_prefill(self, bucket_len: int, layouts, cache_len: int, use_pdrop,
+                     qpos):
+        key = (bucket_len, layouts, cache_len, use_pdrop, qpos)
+        if key not in self._prefill_fns:
+
+            def prefill(params, input_ids, gather_idx, seq_idx, visual, valid_from):
+                plan_len = bucket_len
+                plan = FusionPlan(
+                    fused_len=plan_len,
+                    text_len=input_ids.shape[0],
+                    num_visual=visual.shape[0],
+                    gather_idx=gather_idx,
+                    is_visual=None,
+                    seq_idx=seq_idx,
+                    position_ids=None,
+                    sample_layouts=layouts,
+                )
+                out = vlm_forward(
+                    params, self.arch,
+                    input_ids=input_ids,
+                    plan=plan,
+                    visual_embeddings=visual,
+                    fill_cache=True,
+                    cache_max_len=cache_len,
+                    use_pdrop=use_pdrop,
+                    pdrop_query_positions=qpos,
+                    valid_from=valid_from,
+                )
+                last_logits = out["logits"][:, -1]
+                return last_logits, out["cache"]
+
+            self._prefill_fns[key] = jax.jit(prefill)
+        return self._prefill_fns[key]
+
+    # -- decode loop -----------------------------------------------------
+
+    def _get_decode(self):
+        if self._decode_fn is None:
+            terminators = jnp.asarray(self.terminators, jnp.int32)
+            max_new = self.max_new_tokens
+            samp = self.sampling
+
+            def decode(params, first_logits, cache, key):
+                def cond(state):
+                    i, _, _, done, _, _ = state
+                    return (i < max_new) & (~done)
+
+                def body(state):
+                    i, tok, cache, done, out, key = state
+                    key, sub = jax.random.split(key)
+                    logits, cache = decode_step(params, self.arch, tok, cache)
+                    nxt = sample_token(logits, sub, samp)
+                    out = out.at[i].set(nxt[0])
+                    done = jnp.any(nxt[0] == terminators)
+                    return (i + 1, nxt[:, None], cache, done, out, key)
+
+                key, sub = jax.random.split(key)
+                first = sample_token(first_logits, sub, samp)
+                out = jnp.full((max_new,), -1, jnp.int32).at[0].set(first[0])
+                done0 = jnp.any(first[0] == terminators)
+                state = (jnp.asarray(1), first[:, None], cache, done0, out, key)
+                i, _, cache, _, out, _ = jax.lax.while_loop(cond, body, state)
+                return out, i
+
+            self._decode_fn = jax.jit(decode)
+        return self._decode_fn
+
+    # -- public ----------------------------------------------------------
+
+    def generate(
+        self,
+        input_ids: Sequence[int],
+        pixels: Optional[np.ndarray] = None,
+        image_token_id: Optional[int] = None,
+        answer_prompt_ids: Optional[Sequence[int]] = None,
+        use_pdrop: bool = False,
+        rng_seed: int = 0,
+    ) -> GenerationOutput:
+        """Generate a completion for one prompt (batch-1, like the reference
+        eval loop, evaluate.py:359-679)."""
+        ids = list(input_ids)
+        if answer_prompt_ids:
+            # answer-prompt injection at prefill (generic_vlm.py:771-784)
+            ids = ids + list(answer_prompt_ids)
+
+        visual = None
+        if pixels is not None:
+            visual = self.encode_frames(pixels)
+
+        plan = plan_fusion(
+            ids,
+            image_token_id if image_token_id is not None else -1,
+            self.arch.tokens_per_frame,
+        )
+        nv = visual.shape[0] if visual is not None else 0
+        assert plan.num_visual == nv, (plan.num_visual, nv)
+
+        # pdrop rebuilds seq_idx per stage and would fold pad slots into
+        # sample 0, so pdrop runs unbucketed (exact length)
+        bucket = plan.fused_len if use_pdrop else pick_bucket(plan.fused_len)
+        pad = bucket - plan.fused_len
+        # left-pad: pad slots index a pad text token; segment id -1
+        gather_idx = np.concatenate(
+            [np.zeros((pad,), np.int32), plan.gather_idx])
+        seq = plan.seq_idx if plan.seq_idx is not None else np.zeros(
+            (plan.fused_len,), np.int32)
+        seq_idx = np.concatenate([np.full((pad,), -1, np.int32), seq])
+        ids_arr = np.asarray(ids, np.int32)
+        ids_arr = np.where(ids_arr == (image_token_id if image_token_id is not None else -1),
+                           self.pad_token_id, ids_arr)
+
+        layouts = tuple(
+            (vs + (pad if i == 0 else 0), nvv, ts)
+            for i, (vs, nvv, ts) in enumerate(plan.sample_layouts)
+        )
+        qpos = None
+        if use_pdrop:
+            # inference attn-ranking query: last prompt token of the sample
+            qpos = tuple(
+                vs + nvv + ts - 1 for (vs, nvv, ts) in layouts
+            )
+
+        cache_len = bucket + self.max_new_tokens
+        prefill = self._get_prefill(bucket, layouts, cache_len, use_pdrop, qpos)
+        if visual is None:
+            visual = jnp.zeros((0, self.arch.llm.hidden_size), self.cache_dtype)
+        first_logits, cache = prefill(
+            self.params,
+            jnp.asarray(ids_arr),
+            jnp.asarray(gather_idx),
+            jnp.asarray(seq_idx),
+            visual,
+            pad,
+        )
+        decode = self._get_decode()
+        out, n = decode(self.params, first_logits, cache,
+                        jax.random.PRNGKey(rng_seed))
+        out = np.asarray(out)
+        n = int(n)
+        toks = out[:n]
+        return GenerationOutput(token_ids=toks, num_generated=n)

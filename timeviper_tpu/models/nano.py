@@ -71,15 +71,35 @@ def init_mamba_mixer(key, cfg: NanoConfig, dtype) -> Dict[str, Any]:
     )
     dt = jnp.clip(dt, cfg.time_step_floor, None)
     inv_dt = dt + jnp.log(-jnp.expm1(-dt))
+    kin = jax.random.split(ks[0], 5)
+    kcv = jax.random.split(ks[1], 3)
+    gn = cfg.mamba_n_groups * cfg.ssm_state_size
+
+    def conv_part(k_, n):
+        return {
+            "weight": (jax.random.normal(k_, (n, cfg.mamba_d_conv)) * 0.1
+                       ).astype(jnp.float32),
+            "bias": jnp.zeros((n,), jnp.float32) if cfg.use_conv_bias else None,
+        }
+
     return {
-        "in_proj": _linear(ks[0], d, proj_size, dtype, bias=cfg.use_bias),
+        # in_proj is stored SPLIT by logical role (fused layout
+        # [gate|x|B|C|dt] in the torch checkpoint, modeling_nano.py:489-492;
+        # the converter splits rows). Separate kernels let tensor parallelism
+        # shard gate/x by Mamba heads and B/C by groups on aligned
+        # boundaries — a fused kernel cannot shard cleanly under GSPMD.
+        "in_proj": {
+            "gate": _linear(kin[0], d, d_inner, dtype, bias=cfg.use_bias),
+            "x": _linear(kin[1], d, d_inner, dtype, bias=cfg.use_bias),
+            "B": _linear(kin[2], d, gn, dtype, bias=cfg.use_bias),
+            "C": _linear(kin[3], d, gn, dtype, bias=cfg.use_bias),
+            "dt": _linear(kin[4], d, H, dtype, bias=cfg.use_bias),
+        },
+        # depthwise conv over [x|B|C] == three independent depthwise convs
         "conv1d": {
-            "weight": (
-                jax.random.normal(ks[1], (conv_dim, cfg.mamba_d_conv)) * 0.1
-            ).astype(jnp.float32),
-            "bias": jnp.zeros((conv_dim,), jnp.float32)
-            if cfg.use_conv_bias
-            else None,
+            "x": conv_part(kcv[0], d_inner),
+            "B": conv_part(kcv[1], gn),
+            "C": conv_part(kcv[2], gn),
         },
         "dt_bias": inv_dt.astype(jnp.float32),
         "A_log": jnp.log(jnp.arange(1, H + 1, dtype=jnp.float32)),
@@ -175,18 +195,28 @@ def mamba_mixer_forward(
     G, N, H, P = (cfg.mamba_n_groups, cfg.ssm_state_size,
                   cfg.mamba_num_heads, cfg.mamba_head_dim)
 
-    projected = _apply_linear(p["in_proj"], x)
-    gate, xBC, dt = jnp.split(projected, [d_inner, d_inner + cfg.conv_dim], axis=-1)
+    ip = p["in_proj"]
+    gate = _apply_linear(ip["gate"], x)
+    xr = _apply_linear(ip["x"], x)
+    Br = _apply_linear(ip["B"], x)
+    Cr = _apply_linear(ip["C"], x)
+    dt = _apply_linear(ip["dt"], x)
 
     new_cache = None
     if fill_cache:
-        new_cache = {"conv_state": init_conv_state(xBC, cfg.mamba_d_conv)}
+        new_cache = {"conv_state": {
+            "x": init_conv_state(xr, cfg.mamba_d_conv),
+            "B": init_conv_state(Br, cfg.mamba_d_conv),
+            "C": init_conv_state(Cr, cfg.mamba_d_conv),
+        }}
 
-    xBC = causal_conv1d(
-        xBC, p["conv1d"]["weight"], p["conv1d"]["bias"],
-        activation=cfg.mamba_hidden_act, seq_idx=seq_idx,
-    )
-    xs, B_, C = jnp.split(xBC, [d_inner, d_inner + G * N], axis=-1)
+    cv = p["conv1d"]
+    xs = causal_conv1d(xr, cv["x"]["weight"], cv["x"]["bias"],
+                       activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
+    B_ = causal_conv1d(Br, cv["B"]["weight"], cv["B"]["bias"],
+                       activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
+    C = causal_conv1d(Cr, cv["C"]["weight"], cv["C"]["bias"],
+                      activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
 
     y, final_state = ssd_chunked(
         xs.reshape(B, L, H, P),
@@ -224,13 +254,22 @@ def mamba_mixer_decode(
     G, N, H, P = (cfg.mamba_n_groups, cfg.ssm_state_size,
                   cfg.mamba_num_heads, cfg.mamba_head_dim)
 
-    projected = _apply_linear(p["in_proj"], x[:, 0])
-    gate, xBC, dt = jnp.split(projected, [d_inner, d_inner + cfg.conv_dim], axis=-1)
-    xBC, conv_state = causal_conv1d_update(
-        xBC, cache_layer["conv_state"], p["conv1d"]["weight"],
-        p["conv1d"]["bias"], activation=cfg.mamba_hidden_act,
-    )
-    xs, B_, C = jnp.split(xBC, [d_inner, d_inner + G * N], axis=-1)
+    ip = p["in_proj"]
+    x0 = x[:, 0]
+    gate = _apply_linear(ip["gate"], x0)
+    xr = _apply_linear(ip["x"], x0)
+    Br = _apply_linear(ip["B"], x0)
+    Cr = _apply_linear(ip["C"], x0)
+    dt = _apply_linear(ip["dt"], x0)
+    cv = p["conv1d"]
+    cs = cache_layer["conv_state"]
+    xs, cs_x = causal_conv1d_update(xr, cs["x"], cv["x"]["weight"],
+                                    cv["x"]["bias"], cfg.mamba_hidden_act)
+    B_, cs_B = causal_conv1d_update(Br, cs["B"], cv["B"]["weight"],
+                                    cv["B"]["bias"], cfg.mamba_hidden_act)
+    C, cs_C = causal_conv1d_update(Cr, cs["C"], cv["C"]["weight"],
+                                   cv["C"]["bias"], cfg.mamba_hidden_act)
+    conv_state = {"x": cs_x, "B": cs_B, "C": cs_C}
     y, ssm_state = ssd_update_step(
         cache_layer["ssm_state"],
         xs.reshape(B, H, P),
@@ -295,6 +334,7 @@ def attention_mixer_decode(
     x: jax.Array,
     cache_layer: Dict[str, Any],
     length: jax.Array,
+    valid_from: jax.Array = 0,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Single-token decode against the fixed-capacity KV buffer."""
     B = x.shape[0]
@@ -302,14 +342,18 @@ def attention_mixer_decode(
     q = _apply_linear(p["q_proj"], x).reshape(B, 1, Hq, hd)
     k_new = _apply_linear(p["k_proj"], x).reshape(B, 1, Hkv, hd)
     v_new = _apply_linear(p["v_proj"], x).reshape(B, 1, Hkv, hd)
+    zero = jnp.zeros((), length.dtype) if hasattr(length, "dtype") else 0
     k = jax.lax.dynamic_update_slice(
-        cache_layer["k"], k_new.astype(cache_layer["k"].dtype), (0, length, 0, 0)
+        cache_layer["k"], k_new.astype(cache_layer["k"].dtype),
+        (zero, length, zero, zero),
     )
     v = jax.lax.dynamic_update_slice(
-        cache_layer["v"], v_new.astype(cache_layer["v"].dtype), (0, length, 0, 0)
+        cache_layer["v"], v_new.astype(cache_layer["v"].dtype),
+        (zero, length, zero, zero),
     )
     max_len = k.shape[1]
-    kv_valid = (jnp.arange(max_len)[None, :] <= length)
+    slots = jnp.arange(max_len)[None, :]
+    kv_valid = (slots <= length) & (slots >= valid_from)
     out = attention(q, k, v, kv_valid[:, None, :])
     out = _apply_linear(p["o_proj"], out.reshape(B, 1, Hq * hd))
     return out, {"k": k, "v": v}
@@ -364,6 +408,7 @@ def nano_forward(
     pdrop_params=None,
     labels: Optional[jax.Array] = None,
     logits_to_keep: int = 0,
+    valid_from: int = 0,
 ):
     """Full-sequence forward (training / prefill).
 
@@ -437,6 +482,7 @@ def nano_forward(
         out["cache"] = {
             "layers": new_layers,
             "length": jnp.asarray(L, jnp.int32),
+            "valid_from": jnp.asarray(valid_from, jnp.int32),
         }
     return out
 
@@ -477,7 +523,8 @@ def nano_decode_step(
             )
         elif block_type == "attention":
             out, lc = attention_mixer_decode(
-                layer_params["mixer"], cfg, normed, cache["layers"][idx], length
+                layer_params["mixer"], cfg, normed, cache["layers"][idx],
+                length, cache.get("valid_from", 0),
             )
         else:
             out = mlp_mixer_forward(layer_params["mixer"], cfg, normed)
@@ -487,4 +534,8 @@ def nano_decode_step(
     hidden = rms_norm(hidden, params["norm_f"]["weight"],
                       eps=cfg.layer_norm_epsilon)
     logits = compute_logits(params, hidden[:, 0])
-    return logits, {"layers": new_layers, "length": length + 1}
+    return logits, {
+        "layers": new_layers,
+        "length": length + 1,
+        "valid_from": cache.get("valid_from", jnp.zeros((), jnp.int32)),
+    }

@@ -1,0 +1,173 @@
+"""ViT vision backbones (SigLIP / DINOv2 families) — TPU-native functional.
+
+Replaces the reference's timm-backed TimmViTBackbone (timeviper/model/vit/
+base_vision.py:126-294). The defining behaviour is preserved: features are
+the *penultimate* transformer block's patch tokens — no final norm, prefix
+(CLS/register) tokens dropped — matching the timm monkey-patch
+``get_intermediate_layers(n={len(blocks)-2})`` at base_vision.py:165-170.
+
+Pre-norm ViT blocks; LayerScale for DINOv2. Position embeddings are learned
+and bicubic-resized when the input grid differs from the checkpoint grid.
+All matmuls are batched (frames fold into the batch axis) and bf16 by
+default — MXU-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from timeviper_tpu.config import ViTConfig
+from timeviper_tpu.ops.attention import attention
+
+
+def _linear(key, d_in, d_out, dtype, std=0.02, bias=True):
+    p = {"kernel": (jax.random.normal(key, (d_in, d_out)) * std).astype(dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _apply_linear(p, x):
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def _layer_norm(x, p, eps):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["weight"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _act(name):
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    raise ValueError(name)
+
+
+def init_vit_params(key, cfg: ViTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 4)
+    d = cfg.hidden_size
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 6)
+        layer = {
+            "norm1": {"weight": jnp.ones((d,), jnp.float32),
+                      "bias": jnp.zeros((d,), jnp.float32)},
+            "attn": {
+                "qkv": _linear(ks[0], d, 3 * d, dtype, bias=cfg.qkv_bias),
+                "proj": _linear(ks[1], d, d, dtype),
+            },
+            "norm2": {"weight": jnp.ones((d,), jnp.float32),
+                      "bias": jnp.zeros((d,), jnp.float32)},
+            "mlp": {
+                "fc1": _linear(ks[2], d, cfg.intermediate_size, dtype),
+                "fc2": _linear(ks[3], cfg.intermediate_size, d, dtype),
+            },
+        }
+        if cfg.use_layer_scale:
+            layer["ls1"] = {"gamma": jnp.full((d,), cfg.layer_scale_init, jnp.float32)}
+            layer["ls2"] = {"gamma": jnp.full((d,), cfg.layer_scale_init, jnp.float32)}
+        layers.append(layer)
+    params = {
+        "patch_embed": {
+            "kernel": (jax.random.normal(
+                keys[-4], (cfg.patch_size, cfg.patch_size, 3, d)) * 0.02
+            ).astype(dtype),
+            "bias": jnp.zeros((d,), dtype),
+        },
+        "pos_embed": (jax.random.normal(
+            keys[-3], (1, cfg.num_patches + cfg.num_prefix_tokens, d)) * 0.02
+        ).astype(jnp.float32),
+        "layers": layers,
+    }
+    if cfg.use_class_token:
+        params["cls_token"] = jnp.zeros((1, 1, d), jnp.float32)
+    if cfg.num_register_tokens:
+        params["reg_tokens"] = jnp.zeros(
+            (1, cfg.num_register_tokens, d), jnp.float32)
+    return params
+
+
+def _resize_pos_embed(pos, cfg: ViTConfig, grid: int) -> jax.Array:
+    """Bicubic-resize patch position embeddings to a new grid."""
+    npfx = cfg.num_prefix_tokens
+    # ckpt grid inferred from stored length
+    stored = pos.shape[1] - npfx
+    g0 = int(round(stored ** 0.5))
+    if g0 == grid:
+        return pos
+    prefix, patch = pos[:, :npfx], pos[:, npfx:]
+    d = patch.shape[-1]
+    patch = patch.reshape(1, g0, g0, d)
+    patch = jax.image.resize(patch, (1, grid, grid, d), method="cubic")
+    return jnp.concatenate([prefix, patch.reshape(1, grid * grid, d)], axis=1)
+
+
+def vit_forward(
+    params: Dict[str, Any], cfg: ViTConfig, pixels: jax.Array
+) -> jax.Array:
+    """pixels: (B, H, W, 3) -> penultimate-block patch features (B, P, D)."""
+    B, H, W, _ = pixels.shape
+    grid = H // cfg.patch_size
+    x = jax.lax.conv_general_dilated(
+        pixels.astype(params["patch_embed"]["kernel"].dtype),
+        params["patch_embed"]["kernel"],
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = x + params["patch_embed"]["bias"].astype(x.dtype)
+    x = x.reshape(B, grid * grid, cfg.hidden_size)
+
+    prefix = []
+    if cfg.use_class_token:
+        prefix.append(jnp.broadcast_to(
+            params["cls_token"].astype(x.dtype), (B, 1, cfg.hidden_size)))
+    if cfg.num_register_tokens:
+        prefix.append(jnp.broadcast_to(
+            params["reg_tokens"].astype(x.dtype),
+            (B, cfg.num_register_tokens, cfg.hidden_size)))
+    # timm order: cls, (patch+pos); DINOv2 adds pos to cls too then appends regs
+    pos = _resize_pos_embed(params["pos_embed"], cfg, grid)
+    if cfg.use_class_token:
+        # DINOv2/timm with class token: pos embed covers [cls, patches]
+        cls = prefix[0] + pos[:, :1].astype(x.dtype)
+        x = x + pos[:, 1:].astype(x.dtype)
+        toks = [cls] + prefix[1:] + [x]
+    else:
+        x = x + pos.astype(x.dtype)
+        toks = prefix + [x]
+    x = jnp.concatenate(toks, axis=1) if len(toks) > 1 else toks[0]
+
+    act = _act(cfg.hidden_act)
+    nh = cfg.num_attention_heads
+    hd = cfg.hidden_size // nh
+    # penultimate-layer features: run blocks [0, L-2), i.e. skip the last block
+    for layer in params["layers"][: cfg.num_hidden_layers - 1]:
+        res = x
+        n = _layer_norm(x, layer["norm1"], cfg.layer_norm_eps)
+        qkv = _apply_linear(layer["attn"]["qkv"], n)
+        T = qkv.shape[1]
+        q, k, v = jnp.split(qkv.reshape(B, T, 3, nh, hd), 3, axis=2)
+        out = attention(q[:, :, 0], k[:, :, 0], v[:, :, 0])
+        out = _apply_linear(layer["attn"]["proj"], out.reshape(B, T, cfg.hidden_size))
+        if "ls1" in layer:
+            out = out * layer["ls1"]["gamma"].astype(out.dtype)
+        x = res + out
+        res = x
+        n = _layer_norm(x, layer["norm2"], cfg.layer_norm_eps)
+        out = _apply_linear(layer["mlp"]["fc2"], act(_apply_linear(layer["mlp"]["fc1"], n)))
+        if "ls2" in layer:
+            out = out * layer["ls2"]["gamma"].astype(out.dtype)
+        x = res + out
+    return x[:, cfg.num_prefix_tokens :]

@@ -1,0 +1,225 @@
+"""TimeViper VLM assembly: vision → projector → fuse → LLM.
+
+TPU re-design of GenericTimeViperVLM / HybridTimeViperVLM
+(timeviper/model/generic_vlm.py:60-972, hybrid_vlm.py:28-50). The reference
+splices tensors dynamically per batch; here the host builds a static
+`FusionPlan` (data/fusion.py) and the jitted forward applies one gather.
+
+Family dispatch mirrors the reference factory (model/__init__.py:102-133):
+`nano` → hybrid cache backbone, `qwen2` → transformer backbone; both hide
+behind the same functional interface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timeviper_tpu.config import (
+    NanoConfig,
+    Qwen2Config,
+    ViTConfig,
+    VLMConfig,
+)
+from timeviper_tpu.data.fusion import IGNORE_INDEX, FusionPlan
+from timeviper_tpu.models import nano as nano_mod
+from timeviper_tpu.models import qwen2 as qwen2_mod
+from timeviper_tpu.models import vit as vit_mod
+from timeviper_tpu.models.cache import init_nano_cache, init_qwen2_cache
+from timeviper_tpu.models.pdrop import PdropSpec, init_merge_modules, make_pdrop_spec
+from timeviper_tpu.models.projector import (
+    init_projector_params,
+    projector_forward,
+)
+
+
+@dataclass(frozen=True)
+class VLMArch:
+    """Static bundle of configs for the assembled model."""
+
+    vlm: VLMConfig
+    vision: ViTConfig
+    llm: Any  # NanoConfig | Qwen2Config
+    llm_family: str  # "nano" | "qwen2"
+
+    @property
+    def tokens_per_frame(self) -> int:
+        n = self.vlm.num_compressed_tokens
+        return n if n > 0 else self.vision.num_patches
+
+
+def init_vlm_params(key, arch: VLMArch, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    ks = jax.random.split(key, 4)
+    if arch.llm_family == "nano":
+        llm_params = nano_mod.init_nano_params(ks[0], arch.llm, dtype)
+    else:
+        llm_params = qwen2_mod.init_qwen2_params(ks[0], arch.llm, dtype)
+    params = {
+        "vision_backbone": vit_mod.init_vit_params(ks[1], arch.vision, dtype),
+        "projector": init_projector_params(
+            ks[2], arch.vision.hidden_size, arch.llm.hidden_size,
+            arch.vlm.projector_type, dtype,
+        ),
+        "llm_backbone": llm_params,
+    }
+    merge = init_merge_modules(ks[3], arch.llm, dtype)
+    if merge is not None:
+        params["merge_modules"] = merge
+    return params
+
+
+def encode_visual(
+    params: Dict[str, Any],
+    arch: VLMArch,
+    pixels: jax.Array,
+    clip_size: int = 0,
+) -> jax.Array:
+    """pixels: (frames, H, W, 3) -> (frames, tokens_per_frame, llm_dim).
+
+    `clip_size` > 0 chunks frames through the tower to bound activations at
+    eval (reference generic_vlm.py:274-281 splits into 256-frame clips) —
+    chunking happens at the caller (python loop over jit calls) to keep each
+    compiled program small.
+    """
+    feats = vit_mod.vit_forward(params["vision_backbone"], arch.vision, pixels)
+    return projector_forward(
+        params["projector"], feats,
+        projector_type=arch.vlm.projector_type,
+        num_compressed_tokens=arch.tokens_per_frame,
+        token_order=arch.vlm.visual_token_order,
+        compress="tome" in arch.vlm.projector_type,
+    )
+
+
+def fuse_embeddings(
+    params: Dict[str, Any],
+    arch: VLMArch,
+    input_ids: jax.Array,  # (Lt,)
+    visual_embeddings: jax.Array,  # (Nv, D) flattened projected tokens
+    plan: FusionPlan,
+) -> jax.Array:
+    """Apply the host-built fusion plan: one gather (1, fused_len, D)."""
+    emb_table = params["llm_backbone"]["embeddings"]
+    text = jnp.take(emb_table, input_ids, axis=0)
+    src = jnp.concatenate(
+        [text, visual_embeddings.astype(text.dtype)], axis=0
+    )
+    fused = jnp.take(src, jnp.asarray(plan.gather_idx), axis=0)
+    return fused[None]
+
+
+def vlm_forward(
+    params: Dict[str, Any],
+    arch: VLMArch,
+    *,
+    input_ids: jax.Array,  # (Lt,) flat row (batch=1 semantics like reference)
+    plan: FusionPlan,
+    pixels: Optional[jax.Array] = None,  # (frames, H, W, 3)
+    visual_embeddings: Optional[jax.Array] = None,  # precomputed (Nv, D)
+    labels: Optional[jax.Array] = None,  # (fused_len,) already fused
+    use_pdrop: bool = False,
+    pdrop_query_positions: Optional[Tuple[Optional[int], ...]] = None,
+    fill_cache: bool = False,
+    cache_max_len: int = 0,
+    remat: bool = False,
+    valid_from: int = 0,
+):
+    """Training / prefill forward over one fused row.
+
+    Mirrors GenericTimeViperVLM.forward (generic_vlm.py:221-399): encodes
+    pixels unless precomputed visual embeddings are given, fuses via the
+    static plan, and runs the LLM with packing seq_idx + pdrop args.
+    """
+    if visual_embeddings is None and pixels is not None:
+        ve = encode_visual(params, arch, pixels)
+        visual_embeddings = ve.reshape(-1, ve.shape[-1])
+    if visual_embeddings is None:
+        visual_embeddings = jnp.zeros(
+            (0, arch.llm.hidden_size), params["llm_backbone"]["embeddings"].dtype
+        )
+    assert visual_embeddings.shape[0] == plan.num_visual, (
+        visual_embeddings.shape, plan.num_visual)
+
+    fused = fuse_embeddings(params, arch, input_ids, visual_embeddings, plan)
+    seq_idx = (
+        jnp.asarray(plan.seq_idx)[None] if plan.seq_idx is not None else None
+    )
+    labels_arr = labels[None] if labels is not None else None
+
+    pdrop_spec = None
+    if use_pdrop and arch.llm.use_pdrop:
+        pdrop_spec = make_pdrop_spec(
+            list(plan.sample_layouts), arch.llm.pdrop_stages,
+            list(pdrop_query_positions) if pdrop_query_positions else None,
+        )
+
+    fwd = nano_mod.nano_forward if arch.llm_family == "nano" else qwen2_mod.qwen2_forward
+    out = fwd(
+        params["llm_backbone"], arch.llm,
+        inputs_embeds=fused,
+        seq_idx=seq_idx,
+        labels=labels_arr,
+        fill_cache=fill_cache,
+        cache_max_len=cache_max_len,
+        remat=remat,
+        pdrop_spec=pdrop_spec,
+        pdrop_params=params.get("merge_modules"),
+        valid_from=valid_from,
+    )
+    return out
+
+
+def vlm_loss(
+    params: Dict[str, Any],
+    arch: VLMArch,
+    batch: Dict[str, Any],
+    plan: FusionPlan,
+    remat: bool = True,
+    use_pdrop: bool = False,
+):
+    """Shifted cross-entropy over the fused row (modeling_nano.py:2436-2446).
+
+    batch: {"input_ids": (Lt,), "pixels": (F,H,W,3) | None,
+            "labels": (fused_len,)}.
+    """
+    out = vlm_forward(
+        params, arch,
+        input_ids=batch["input_ids"], plan=plan,
+        pixels=batch.get("pixels"),
+        visual_embeddings=batch.get("visual_embeddings"),
+        labels=batch["labels"], remat=remat, use_pdrop=use_pdrop,
+    )
+    logits = out["logits"]
+    labels = out["labels"]
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    loss = -(token_ll * valid).sum() / n_valid
+    return loss, {"n_tokens": n_valid}
+
+
+# ---------------------------------------------------------------------------
+# Generation
+# ---------------------------------------------------------------------------
+
+
+def init_cache(arch: VLMArch, batch_size: int, max_len: int, dtype=jnp.bfloat16):
+    if arch.llm_family == "nano":
+        return init_nano_cache(arch.llm, batch_size, max_len, dtype)
+    return init_qwen2_cache(arch.llm, batch_size, max_len, dtype)
+
+
+def decode_step(params, arch: VLMArch, token: jax.Array, cache):
+    if arch.llm_family == "nano":
+        return nano_mod.nano_decode_step(
+            params["llm_backbone"], arch.llm, token, cache)
+    return qwen2_mod.qwen2_decode_step(
+        params["llm_backbone"], arch.llm, token, cache)

@@ -24,8 +24,10 @@ import jax.numpy as jnp
 
 
 def merge_schedule(num_tokens: int, target: int) -> List[int]:
-    """The per-round merge counts (reference tome.py:118-139)."""
-    assert num_tokens > target, (num_tokens, target)
+    """The per-round merge counts (reference tome.py:118-139). Empty when
+    already at or below target (merge is a no-op)."""
+    if num_tokens <= target:
+        return []
     r_list = []
     p = num_tokens
     while p != target:

@@ -1,0 +1,113 @@
+"""Sharded training step: loss + grad + optax update under one jit.
+
+The reference's step is HF Trainer → DeepSpeed engine → NCCL allreduce
+(SURVEY.md §3.1). Here the whole step — forward, backward, clip, update — is
+one jitted function over a `Mesh`; GSPMD inserts every collective (gradient
+reduction over `data`, TP reductions over `model`) from the sharding
+constraints alone.
+
+Batch layout: a batch is a stack of packed rows (B, L) with a shared static
+FusionPlan (all rows use the same pack_size / frame budget, as the
+reference's PackedDataset guarantees fixed pack_size, data.py:535-590);
+vision pixels (B, F, H, W, 3). The per-row forward is vmapped over rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from timeviper_tpu.data.fusion import FusionPlan
+from timeviper_tpu.models.vlm import VLMArch, vlm_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def init_train_state(params, tx) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    arch: VLMArch,
+    tx,
+    plan: FusionPlan,
+    *,
+    use_pdrop: bool = False,
+    remat: bool = True,
+    grad_dtype=jnp.float32,
+    donate: bool = True,
+):
+    """Returns a jittable `step(state, batch) -> (state, metrics)`.
+
+    batch: {"input_ids": (B, Lt) int32, "labels": (B, fused_len) int32,
+            "pixels": (B, F, H, W, 3) | None,
+            "visual_embeddings": (B, Nv, D) | None}
+    """
+
+    def loss_one(params, input_ids, labels, pixels, visual):
+        batch = {"input_ids": input_ids, "labels": labels}
+        if pixels is not None:
+            batch["pixels"] = pixels
+        if visual is not None:
+            batch["visual_embeddings"] = visual
+        return vlm_loss(params, arch, batch, plan, remat=remat,
+                        use_pdrop=use_pdrop)
+
+    def loss_fn(params, batch):
+        pixels = batch.get("pixels")
+        visual = batch.get("visual_embeddings")
+        in_axes = (None, 0, 0,
+                   0 if pixels is not None else None,
+                   0 if visual is not None else None)
+        losses, aux = jax.vmap(loss_one, in_axes=in_axes)(
+            params, batch["input_ids"], batch["labels"], pixels, visual
+        )
+        return losses.mean(), aux
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(grad_dtype) if g.dtype == jnp.bfloat16 else g,
+            grads,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {
+            "loss": loss,
+            "grad_norm": gnorm,
+            "n_tokens": aux["n_tokens"].sum(),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def jit_train_step(step_fn, mesh, param_shardings, donate: bool = True):
+    """jit the step over a mesh: params/opt-state keep their shardings, the
+    batch shards its leading axis over `data`."""
+    state_sh = TrainState(
+        params=param_shardings,
+        opt_state=None,  # inferred: optax states mirror param shapes
+        step=NamedSharding(mesh, P()),
+    )
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,) if donate else (),
+    )
