@@ -1,0 +1,147 @@
+"""Evaluation CLI: per-benchmark generate loop with resumable jsonl shards.
+
+TPU re-design of the reference evaluate.py:43-703: same flags
+(--dataset_name, --curr_idx/--total_idx sharding, fps/frame clamps, resume
+by scanning output jsonls), but generation runs through the jitted
+bucketed-prefill + while-loop decoder (models/generate.py) instead of HF
+GenerationMixin.
+
+Usage:
+  python -m timeviper_tpu.eval.evaluate --checkpoint CKPT --dataset_name \
+      videomme --output_dir results/videomme [--curr_idx 0 --total_idx 1]
+
+Then score:
+  python -m timeviper_tpu.eval.evaluate --score_only --dataset_name \
+      videomme --output_dir results/videomme
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+from timeviper_tpu.eval.answers import extract_answer, get_dataset_type
+from timeviper_tpu.eval.datasets import (
+    EvalDataset,
+    EvalSampleConfig,
+    MCQ_ANSWER_PROMPT,
+)
+from timeviper_tpu.eval.loaders import load_benchmark
+from timeviper_tpu.eval.scoring import calc_score, load_scored_data
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="TimeViper-TPU evaluation")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="VLM checkpoint dir (torch .bin/safetensors or orbax)")
+    p.add_argument("--dataset_name", type=str, required=True)
+    p.add_argument("--split", type=str, default="default")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--curr_idx", type=int, default=0)
+    p.add_argument("--total_idx", type=int, default=1)
+    p.add_argument("--fps", type=float, default=1.0)
+    p.add_argument("--min_frames", type=int, default=32)
+    p.add_argument("--max_frames", type=int, default=256)
+    p.add_argument("--max_new_tokens", type=int, default=128)
+    p.add_argument("--conv_template", type=str, default="nano_base")
+    p.add_argument("--use_pdrop", action="store_true")
+    p.add_argument("--score_only", action="store_true")
+    p.add_argument("--limit", type=int, default=0,
+                   help="debug: cap the number of items")
+    return p.parse_args(argv)
+
+
+def scan_finished(output_dir: str) -> set:
+    """Resume: qids already present in any shard (evaluate.py:320-332)."""
+    done = set()
+    if not os.path.isdir(output_dir):
+        return done
+    for fname in os.listdir(output_dir):
+        if "jsonl" not in fname or "score" in fname:
+            continue
+        with open(os.path.join(output_dir, fname)) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["qid"])
+                except Exception:
+                    continue
+    return done
+
+
+def score(args) -> dict:
+    scored = load_scored_data(args.output_dir, args.dataset_name)
+    result = calc_score(scored, args.dataset_name)
+    out_path = os.path.join(args.output_dir, "scores.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    return result
+
+
+def main(argv=None):
+    args = get_args(argv)
+    if args.score_only:
+        return score(args)
+
+    from timeviper_tpu.models.api import load_pretrained_vlm  # heavy imports lazy
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(
+        args.output_dir, f"{args.curr_idx}_of_{args.total_idx}.jsonl"
+    )
+    finished = scan_finished(args.output_dir)
+
+    model = load_pretrained_vlm(
+        args.checkpoint,
+        conv_template=args.conv_template,
+        max_new_tokens=args.max_new_tokens,
+        use_pdrop=args.use_pdrop,
+    )
+    datatype = get_dataset_type(args.dataset_name)
+    records = load_benchmark(args.dataset_name, args.data_root, args.split)
+    if args.limit:
+        records = records[: args.limit]
+    ds = EvalDataset(
+        records, datatype, model.processor, model.template,
+        EvalSampleConfig(fps=args.fps, min_frames=args.min_frames,
+                         max_frames=args.max_frames),
+        curr_idx=args.curr_idx, total_idx=args.total_idx,
+        finished_qids=finished,
+    )
+
+    t_start = time.perf_counter()
+    with open(out_path, "a") as f:
+        for i in range(len(ds)):
+            item = ds[i]
+            answer_prompt = MCQ_ANSWER_PROMPT if datatype == "mcq" else None
+            text = model.generate(
+                item["input_ids"], pixels=item["pixels"],
+                answer_prompt=answer_prompt,
+            )
+            if datatype == "mcq" and answer_prompt:
+                text = "(" + text
+            pred = extract_answer(text, datatype)
+            rec = {
+                "qid": item["qid"],
+                "pred": pred,
+                "target": item["target"],
+                "output_text": text,
+                "duration": item.get("duration"),
+                "task_type": item.get("task_type"),
+            }
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+    elapsed = time.perf_counter() - t_start
+    with open(os.path.join(args.output_dir, "timing_summary.txt"), "a") as f:
+        f.write(
+            f"shard {args.curr_idx}/{args.total_idx}: {len(ds)} items in "
+            f"{elapsed:.1f}s ({elapsed / max(len(ds), 1):.2f} s/item)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""High-level model API: load a checkpoint, get a text-in/text-out model.
+
+The reference's equivalent is `GenericTimeViperVLM.from_pretrained`
+(generic_vlm.py:874-910) + the registry factories (model/__init__.py:40-133).
+A checkpoint directory contains:
+
+* `config.json` — {"model_id", "vision_backbone_id", "llm_backbone_id",
+  "arch_specifier", "conv_template", ...} (same keys the reference persists)
+* model weights — torch `.bin`/`.safetensors` (converted on load via
+  train/convert.py) or an orbax sharded checkpoint under `orbax/`
+* tokenizer files readable by HF AutoTokenizer
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from timeviper_tpu.config import (
+    VLMConfig,
+    get_llm_backbone_config,
+    get_vision_backbone_config,
+)
+from timeviper_tpu.data.conversation import CONV_TEMPLATES, ChatTemplate
+from timeviper_tpu.data.image_processing import transform_for_family
+from timeviper_tpu.data.processor import Processor
+from timeviper_tpu.models.generate import Generator
+from timeviper_tpu.models.vlm import VLMArch
+from timeviper_tpu.ops.sampling import SamplingParams
+
+
+def build_arch(vlm_cfg: VLMConfig) -> VLMArch:
+    ventry = get_vision_backbone_config(vlm_cfg.vision_backbone_id)
+    lentry = get_llm_backbone_config(vlm_cfg.llm_backbone_id)
+    return VLMArch(
+        vlm=vlm_cfg,
+        vision=ventry["config"],
+        llm=lentry["config"],
+        llm_family=lentry["family"],
+    )
+
+
+@dataclass
+class TimeViperModel:
+    """Loaded VLM + processor + generation engine."""
+
+    arch: VLMArch
+    params: Dict[str, Any]
+    processor: Processor
+    template: ChatTemplate
+    generator: Generator
+
+    def generate(
+        self,
+        input_ids: Sequence[int] | np.ndarray,
+        pixels: Optional[np.ndarray] = None,
+        answer_prompt: Optional[str] = None,
+        rng_seed: int = 0,
+        use_pdrop: bool = False,
+    ) -> str:
+        """One prompt -> decoded completion text."""
+        answer_ids = None
+        if answer_prompt:
+            answer_ids = self.processor.tokenize(answer_prompt)
+        out = self.generator.generate(
+            list(np.asarray(input_ids).tolist()),
+            pixels=pixels,
+            image_token_id=self.processor.image_token_id,
+            answer_prompt_ids=answer_ids,
+            use_pdrop=use_pdrop,
+            rng_seed=rng_seed,
+        )
+        toks = [
+            int(t) for t in out.token_ids
+            if t >= 0 and t not in self.processor.terminator_ids
+        ]
+        return self.processor.decode(toks).strip()
+
+    def chat(self, user_text: str, frames: Optional[np.ndarray] = None,
+             **kw) -> str:
+        nf = 0 if frames is None else frames.shape[0]
+        prompt = self.template.prompt_for_generation(
+            ("<image>" * nf + "\n" if nf else "") + user_text
+        )
+        enc = self.processor(
+            prompt, videos=[list(frames)] if nf else None
+        )
+        return self.generate(enc["input_ids"], pixels=enc["pixels"], **kw)
+
+
+def load_pretrained_vlm(
+    checkpoint: str,
+    conv_template: Optional[str] = None,
+    max_new_tokens: int = 128,
+    use_pdrop: bool = False,
+    dtype=jnp.bfloat16,
+    sampling: SamplingParams = SamplingParams(),
+) -> TimeViperModel:
+    """Load a VLM checkpoint dir (see module docstring for layout)."""
+    with open(os.path.join(checkpoint, "config.json")) as f:
+        meta = json.load(f)
+    vlm_cfg = VLMConfig(
+        model_id=meta.get("model_id", "timeviper"),
+        vision_backbone_id=meta.get(
+            "vision_backbone_id", "siglip-vit-so400m-384px"),
+        llm_backbone_id=meta.get("llm_backbone_id", "nano-9b-v2"),
+        arch_specifier=meta.get("arch_specifier", "tome_mlp-16"),
+    )
+    arch = build_arch(vlm_cfg)
+
+    # weights
+    orbax_dir = os.path.join(checkpoint, "orbax")
+    if os.path.isdir(orbax_dir):
+        from timeviper_tpu.train.checkpoint import restore_params
+
+        params = restore_params(orbax_dir)
+    else:
+        from timeviper_tpu.train.convert import (
+            convert_vlm_checkpoint,
+            load_torch_state_dict,
+        )
+
+        weight_files = [
+            f for f in os.listdir(checkpoint)
+            if f.endswith((".bin", ".pt", ".safetensors"))
+        ]
+        sd: Dict[str, np.ndarray] = {}
+        for wf in sorted(weight_files):
+            sd.update(load_torch_state_dict(os.path.join(checkpoint, wf)))
+        params = convert_vlm_checkpoint(sd, arch, dtype=np.dtype("float32"))
+        import jax
+
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype) if getattr(x, "ndim", 0) >= 2
+            else jnp.asarray(x), params)
+
+    # tokenizer + processor
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(checkpoint, use_fast=True)
+    ventry = get_vision_backbone_config(vlm_cfg.vision_backbone_id)
+    transform = transform_for_family(
+        ventry["family"] if ventry["family"] != "multi" else "siglip",
+        arch.vision.image_size,
+    )
+    processor = Processor.build(tokenizer, transform, arch.llm_family)
+
+    template = CONV_TEMPLATES[
+        conv_template or meta.get(
+            "conv_template",
+            "nano_base" if arch.llm_family == "nano" else "qwen2")
+    ]
+    generator = Generator(
+        params, arch,
+        terminator_ids=processor.terminator_ids,
+        pad_token_id=tokenizer.pad_token_id or 0,
+        max_new_tokens=max_new_tokens,
+        sampling=sampling,
+    )
+    return TimeViperModel(
+        arch=arch, params=params, processor=processor, template=template,
+        generator=generator,
+    )

@@ -41,7 +41,8 @@ from timeviper_tpu.ops.conv import (
     init_conv_state,
 )
 from timeviper_tpu.ops.norms import gated_rms_norm, rms_norm
-from timeviper_tpu.ops.ssd import ssd_chunked, ssd_update_step
+from timeviper_tpu.ops.ssd import ssd_update_step
+from timeviper_tpu.ops.ssd_pallas import ssd_auto as ssd_chunked
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,365 @@
+"""Pallas TPU kernel for the Mamba-2 SSD chunked scan.
+
+Replaces the reference's Triton `mamba_chunk_scan_combined`
+(modeling_nano.py:61-65; algorithm spec :671-860) with a TPU-native design:
+
+* Grid = (batch, groups, chunks) with the *chunk* axis innermost. TPU grid
+  steps execute sequentially on a core, so the inter-chunk state recurrence
+  is carried in a VMEM scratch accumulator across grid steps — no second
+  pass, no materialized (L/cs, cs, cs) attention tensor in HBM.
+* Within a chunk, the "attention" matrix C·Bᵀ (cs × cs) is computed ONCE per
+  group on the MXU and reused by all H/G heads of the group; per head it is
+  masked by the exp(ΣdA) decay (a VPU op) and matmul'd with the discretized
+  inputs.
+* All state math is float32 (matching the Triton kernel's accumulators);
+  x/B/C tiles stream in as bf16 and feed the MXU directly.
+* Packed sequences: per-position segment ids mask the intra-chunk decay, the
+  chunk-boundary contribution, and the inbound state, so states reset at
+  segment starts — in prefill too (the reference's prefill dropped seq_idx,
+  modeling_nano.py:648).
+
+Backward: `ssd` is a custom_vjp whose forward runs this kernel and whose
+backward rematerializes through the pure-jnp `ssd_chunked` (ops/ssd.py) under
+XLA AD — numerically identical algorithm, so gradients are consistent.
+
+VMEM budget per grid step (9B config: cs=256, R=16 heads/group, P=64,
+N=128): x/y tiles 0.5-1 MB, CB 0.25 MB, state carry 0.5 MB — comfortably
+inside the ~16 MB VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from timeviper_tpu.ops.ssd import ssd_chunked
+
+
+def _ssd_kernel(
+    # inputs (leading batch/group dims squeezed via BlockSpec None dims)
+    x_ref,      # (R, cs, P) x for this (batch, group, chunk)
+    dt_ref,     # (R, cs) raw dt
+    A_ref,      # (G, R) A (negative reals), full array
+    dtb_ref,    # (G, R) dt_bias, full array
+    B_ref,      # (cs, N)
+    C_ref,      # (cs, N)
+    D_ref,      # (G, R), full array
+    seg_ref,    # (cs,) int32 segment ids
+    # outputs
+    y_ref,      # (R, cs, P)
+    st_ref,     # (R, P, N) final state (written at last chunk)
+    # scratch
+    state,      # VMEM (R, P, N) f32 carry
+    segprev,    # SMEM (1,) int32: segment id at end of previous chunk
+    *,
+    R: int,
+    cs: int,
+    P: int,
+    N: int,
+    nc: int,
+    dt_softplus: bool,
+    dt_lo: float,
+    dt_hi: float,
+):
+    g = pl.program_id(1)
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        state[...] = jnp.zeros_like(state)
+        segprev[0] = seg_ref[0]
+
+    seg = seg_ref[...]  # (cs,)
+    seg_prev = segprev[0]
+
+    dt = dt_ref[...].astype(jnp.float32) + dtb_ref[g][:, None]  # (R, cs)
+    if dt_softplus:
+        dt = jax.nn.softplus(dt)
+    if dt_lo > 0.0 or dt_hi != float("inf"):
+        dt = jnp.clip(dt, dt_lo, dt_hi)
+
+    A = A_ref[g]  # (R,)
+    dA = dt * A[:, None]  # (R, cs)
+    # cumsum along the lane dim via a triangular-ones matmul (Mosaic has no
+    # native cumsum; one (R,cs)x(cs,cs) MXU op is cheap)
+    ii0 = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    jj0 = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    tri = (ii0 <= jj0).astype(jnp.float32)  # U[j, i] = 1 if j <= i
+    Acs = jax.lax.dot_general(
+        dA, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, cs)
+
+    # matmul operands stay in the input dtype (bf16 on the fast path, like
+    # the Triton kernel's tensor-core usage); accumulation is f32 everywhere
+    Bc = B_ref[...]  # (cs, N)
+    Cc = C_ref[...]  # (cs, N)
+    # group-shared "attention" logits: CB[i, j] = C_i · B_j
+    CB = jax.lax.dot_general(
+        Cc, Bc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (cs, cs) f32
+
+    # masks shared across the group's heads
+    ii = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    causal = ii >= jj
+    same_seg = seg[:, None] == seg[None, :]  # (cs, cs)
+    keep2d = causal & same_seg
+
+    # per-position masks for the carried (inbound) state
+    cont = (seg == seg_prev).astype(jnp.float32)  # (cs,)
+    # chunk transition factor: zero if any internal boundary or new segment
+    no_boundary = jnp.logical_and(
+        seg[0] == seg[cs - 1], seg[0] == seg_prev
+    ).astype(jnp.float32)
+    # keep mask for local chunk states (positions in the chunk-final segment)
+    keep_last = (seg == seg[cs - 1]).astype(jnp.float32)  # (cs,)
+
+    xf = x_ref[...].astype(jnp.float32)  # (R, cs, P)
+    xdt = xf * dt[:, :, None]  # (R, cs, P) f32
+    xdt_mm = xdt.astype(x_ref.dtype)  # matmul operand in input dtype
+
+    for h in range(R):  # static unroll over the group's heads
+        Acs_h = Acs[h]  # (cs,)
+        # decay matrix exp(Acs_i - Acs_j), masked
+        Lh = jnp.exp(Acs_h[:, None] - Acs_h[None, :])
+        M = jnp.where(keep2d, CB * Lh, 0.0)  # (cs, cs) f32
+        y_diag = jax.lax.dot_general(
+            M.astype(x_ref.dtype), xdt_mm[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cs, P)
+
+        # inbound state contribution: C_i · h_in * exp(Acs_i), masked by cont
+        h_in = state[h]  # (P, N) f32
+        y_off = jax.lax.dot_general(
+            Cc, h_in.astype(x_ref.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cs, P)
+        w_out = jnp.exp(Acs_h) * cont  # (cs,)
+        y = y_diag + y_off * w_out[:, None]
+        y = y + D_ref[g, h] * xf[h]
+        y_ref[h] = y.astype(y_ref.dtype)
+
+        # local chunk state: sum_j exp(Acs_end - Acs_j) dt_j x_j B_jᵀ
+        w_st = jnp.exp(Acs_h[cs - 1] - Acs_h) * keep_last  # (cs,)
+        st_local = jax.lax.dot_general(
+            (xdt[h] * w_st[:, None]).astype(x_ref.dtype), Bc,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, N)
+        chunk_decay = jnp.exp(Acs_h[cs - 1]) * no_boundary
+        state[h] = state[h] * chunk_decay + st_local
+
+    segprev[0] = seg[cs - 1]
+
+    @pl.when(c == nc - 1)
+    def _():
+        st_ref[...] = state[...]
+
+
+def _ssd_pallas_fwd(
+    x: jax.Array,     # (B, L, H, P)
+    dt: jax.Array,    # (B, L, H)
+    A: jax.Array,     # (H,)
+    B_: jax.Array,    # (B, L, G, N)
+    C: jax.Array,     # (B, L, G, N)
+    chunk_size: int,
+    D: Optional[jax.Array],
+    dt_bias: Optional[jax.Array],
+    dt_softplus: bool,
+    dt_limit: Tuple[float, float],
+    seq_idx: Optional[jax.Array],
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    Bsz, L, H, P = x.shape
+    G, N = B_.shape[-2], B_.shape[-1]
+    R = H // G
+    cs = chunk_size
+    pad = (cs - L % cs) % cs
+    Lp = L + pad
+    nc = Lp // cs
+
+    if seq_idx is None:
+        seq_idx = jnp.zeros((Bsz, L), jnp.int32)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        B_ = jnp.pad(B_, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # dt pads are raw zeros -> after softplus+bias NOT zero; guard by
+        # padding seq with the last id (pads contribute x=0·dt to states but
+        # nonzero decay... so instead mark pads as same segment: their x is 0
+        # so dBx = 0; decay factor would shrink the final state though.
+        # Use dt = -inf on pads so softplus(dt) = 0 => exp(0)=1 decay.
+        padmask = jnp.arange(Lp) >= L
+        dt = jnp.where(padmask[None, :, None], -jnp.inf, dt)
+        seq_idx = jnp.pad(seq_idx, ((0, 0), (0, pad)), mode="edge")
+
+    # blocked layouts
+    xb = jnp.transpose(x, (0, 2, 1, 3)).reshape(Bsz, G, R, Lp, P)
+    dtb = jnp.transpose(dt, (0, 2, 1)).reshape(Bsz, G, R, Lp)
+    Bb = jnp.transpose(B_, (0, 2, 1, 3))  # (B, G, Lp, N)
+    Cb = jnp.transpose(C, (0, 2, 1, 3))
+    Ab = A.reshape(G, R)
+    dtbias = (
+        dt_bias if dt_bias is not None else jnp.zeros((H,), jnp.float32)
+    ).reshape(G, R).astype(jnp.float32)
+    Db = (
+        D if D is not None else jnp.zeros((H,), jnp.float32)
+    ).reshape(G, R).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _ssd_kernel,
+        R=R, cs=cs, P=P, N=N, nc=nc,
+        dt_softplus=dt_softplus,
+        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
+    )
+
+    grid = (Bsz, G, nc)
+    y, st = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, R, cs, P), lambda b, g, c: (b, g, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, R, cs), lambda b, g, c: (b, g, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cs, N), lambda b, g, c: (b, g, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cs, N), lambda b, g, c: (b, g, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cs), lambda b, g, c: (b, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, R, cs, P), lambda b, g, c: (b, g, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, R, P, N), lambda b, g, c: (b, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bsz, G, R, Lp, P), x.dtype),
+            jax.ShapeDtypeStruct((Bsz, G, R, P, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, P, N), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xb, dtb, Ab, dtbias, Bb, Cb, Db, seq_idx)
+
+    y = jnp.transpose(y.reshape(Bsz, H, Lp, P), (0, 2, 1, 3))
+    if pad:
+        y = y[:, :L]
+    final_state = st.reshape(Bsz, H, P, N)
+    return y, final_state
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp: Pallas forward, jnp-rematerialized backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 8, 9)
+)
+def _ssd_core(x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
+              seq_idx):
+    return _ssd_pallas_fwd(
+        x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
+        seq_idx,
+    )
+
+
+def _ssd_core_fwd(x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus,
+                  dt_limit, seq_idx):
+    out = _ssd_pallas_fwd(
+        x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
+        seq_idx,
+    )
+    return out, (x, dt, A, B_, C, D, dt_bias, seq_idx)
+
+
+def _ssd_core_bwd(chunk_size, dt_softplus, dt_limit, res, g):
+    import numpy as _np
+
+    x, dt, A, B_, C, D, dt_bias, seq_idx = res
+
+    def ref(x, dt, A, B_, C, D, dt_bias):
+        return ssd_chunked(
+            x, dt, A, B_, C, chunk_size=chunk_size, D=D, dt_bias=dt_bias,
+            dt_softplus=dt_softplus, dt_limit=dt_limit, seq_idx=seq_idx,
+            return_final_state=True,
+        )
+
+    _, vjp = jax.vjp(ref, x, dt, A, B_, C, D, dt_bias)
+    gx, gdt, gA, gB, gC, gD, gdtb = vjp(g)
+    # integer-typed seq_idx gets a float0 cotangent
+    gseq = _np.zeros(seq_idx.shape, jax.dtypes.float0)
+    return gx, gdt, gA, gB, gC, gD, gdtb, gseq
+
+
+_ssd_core.defvjp(_ssd_core_fwd, _ssd_core_bwd)
+
+
+def ssd_pallas(
+    x: jax.Array,
+    dt: jax.Array,
+    A: jax.Array,
+    B_: jax.Array,
+    C: jax.Array,
+    chunk_size: int = 256,
+    D: Optional[jax.Array] = None,
+    dt_bias: Optional[jax.Array] = None,
+    dt_softplus: bool = True,
+    dt_limit: Tuple[float, float] = (0.0, float("inf")),
+    seq_idx: Optional[jax.Array] = None,
+    return_final_state: bool = True,
+    interpret: bool = False,
+):
+    """Drop-in replacement for :func:`ops.ssd.ssd_chunked` (Pallas TPU path).
+
+    Same shapes/semantics; see module docstring for the kernel design.
+    """
+    if interpret:
+        y, st = _ssd_pallas_fwd(
+            x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
+            seq_idx, interpret=True,
+        )
+    else:
+        H = x.shape[2]
+        Dc = D if D is not None else jnp.zeros((H,), jnp.float32)
+        dtb = dt_bias if dt_bias is not None else jnp.zeros((H,), jnp.float32)
+        seq = (
+            seq_idx if seq_idx is not None
+            else jnp.zeros(x.shape[:2], jnp.int32)
+        )
+        y, st = _ssd_core(
+            x, dt, A, B_, C, chunk_size, Dc, dtb, dt_softplus, dt_limit, seq
+        )
+    if return_final_state:
+        return y, st
+    return y
+
+
+def ssd_auto(*args, **kwargs):
+    """Dispatch: Pallas kernel on TPU, jnp chunked scan elsewhere."""
+    platform = jax.default_backend()
+    if platform == "tpu" or platform == "axon":
+        return ssd_pallas(*args, **kwargs)
+    return ssd_chunked(*args, **kwargs)
