@@ -1,0 +1,77 @@
+"""Vision tower dispatch: single / multi / InternVideo2 paths."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timeviper_tpu.config import (
+    InternVideo2Config,
+    VLMConfig,
+    tiny_nano_config,
+    tiny_vit_config,
+)
+from timeviper_tpu.models.internvideo2 import (
+    encode_frames_iv2,
+    init_internvideo2_params,
+)
+from timeviper_tpu.models.vlm import VLMArch, encode_visual, init_vlm_params
+
+
+def tiny_iv2_config():
+    return InternVideo2Config(
+        image_size=28, patch_size=14, num_frames=2, hidden_size=32,
+        intermediate_size=64, num_hidden_layers=3, num_attention_heads=2,
+        x_vis_return_idx=-2,
+    )
+
+
+def test_internvideo2_shapes():
+    cfg = tiny_iv2_config()
+    assert cfg.effective_depth == 2
+    params = init_internvideo2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (4, 28, 28, 3))
+    out = encode_frames_iv2(params, cfg, frames)
+    # 4 frames -> 2 clips of 2 frames; each clip: 2 * (28/14)^2 = 8 tokens
+    assert out.shape == (2, 8, 32)
+
+
+def test_multi_tower_interleave():
+    towers = (
+        ("tiny-a", "siglip", tiny_vit_config()),
+        ("tiny-b", "dinov2", tiny_vit_config(
+            use_class_token=True, num_register_tokens=1, use_layer_scale=True,
+            hidden_act="gelu")),
+    )
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=towers[0][2],
+        llm=tiny_nano_config(),
+        llm_family="nano",
+        vision_family="multi",
+        vision_backbones=towers,
+    )
+    assert arch.tokens_per_frame == 4  # 2 compressed x 2 towers
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, jnp.float32)
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (3, 28, 28, 3))
+    out = encode_visual(params, arch, pixels)
+    assert out.shape == (3, 4, arch.llm.hidden_size)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_iv2_vlm_encode_with_clip_tome():
+    cfg = tiny_iv2_config()
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=cfg,
+        llm=tiny_nano_config(),
+        llm_family="nano",
+        vision_family="internvideo2",
+    )
+    assert arch.local_num_frames == 2
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, jnp.float32)
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (4, 28, 28, 3))
+    out = encode_visual(params, arch, pixels)
+    # clip-joint ToMe: 2 tokens per frame after the per-clip merge
+    assert out.shape == (4, 2, arch.llm.hidden_size)

@@ -288,12 +288,23 @@ class InternVideo2Config:
     num_hidden_layers: int = 40
     num_attention_heads: int = 16
     layer_norm_eps: float = 1e-6
-    # features from layer depth-2, matching x_vis_ret semantics
+    qkv_bias: bool = False
+    # penultimate features: effective depth = depth + x_vis_return_idx + 1
+    # (reference vit_scale_clean.py:505)
+    x_vis_return_idx: int = -2
     use_checkpoint: bool = False
+
+    @property
+    def effective_depth(self) -> int:
+        return self.num_hidden_layers + self.x_vis_return_idx + 1
 
     @property
     def grid_size(self) -> int:
         return self.image_size // self.patch_size
+
+    @property
+    def hidden_act(self) -> str:
+        return "gelu"
 
 
 # ---------------------------------------------------------------------------

@@ -37,11 +37,25 @@ from timeviper_tpu.ops.sampling import SamplingParams
 def build_arch(vlm_cfg: VLMConfig) -> VLMArch:
     ventry = get_vision_backbone_config(vlm_cfg.vision_backbone_id)
     lentry = get_llm_backbone_config(vlm_cfg.llm_backbone_id)
+    if ventry["family"] == "multi":
+        towers = []
+        for bid in ventry["backbones"]:
+            sub = get_vision_backbone_config(bid)
+            towers.append((bid, sub["family"], sub["config"]))
+        return VLMArch(
+            vlm=vlm_cfg,
+            vision=towers[0][2],
+            llm=lentry["config"],
+            llm_family=lentry["family"],
+            vision_family="multi",
+            vision_backbones=tuple(towers),
+        )
     return VLMArch(
         vlm=vlm_cfg,
         vision=ventry["config"],
         llm=lentry["config"],
         llm_family=lentry["family"],
+        vision_family=ventry["family"],
     )
 
 

@@ -85,8 +85,11 @@ def init_vit_params(key, cfg: ViTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
             ).astype(dtype),
             "bias": jnp.zeros((d,), dtype),
         },
+        # pos embed covers PATCHES ONLY (timm `no_embed_class` semantics:
+        # DINOv2-reg4 and SigLIP both store (1, num_patches, D); cls/reg
+        # tokens are prepended after the pos add)
         "pos_embed": (jax.random.normal(
-            keys[-3], (1, cfg.num_patches + cfg.num_prefix_tokens, d)) * 0.02
+            keys[-3], (1, cfg.num_patches, d)) * 0.02
         ).astype(jnp.float32),
         "layers": layers,
     }
@@ -99,18 +102,15 @@ def init_vit_params(key, cfg: ViTConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
 
 
 def _resize_pos_embed(pos, cfg: ViTConfig, grid: int) -> jax.Array:
-    """Bicubic-resize patch position embeddings to a new grid."""
-    npfx = cfg.num_prefix_tokens
-    # ckpt grid inferred from stored length
-    stored = pos.shape[1] - npfx
-    g0 = int(round(stored ** 0.5))
+    """Bicubic-resize patch position embeddings to a new grid.
+    pos: (1, num_patches, D) — patches only (no prefix entries)."""
+    g0 = int(round(pos.shape[1] ** 0.5))
     if g0 == grid:
         return pos
-    prefix, patch = pos[:, :npfx], pos[:, npfx:]
-    d = patch.shape[-1]
-    patch = patch.reshape(1, g0, g0, d)
+    d = pos.shape[-1]
+    patch = pos.reshape(1, g0, g0, d)
     patch = jax.image.resize(patch, (1, grid, grid, d), method="cubic")
-    return jnp.concatenate([prefix, patch.reshape(1, grid * grid, d)], axis=1)
+    return patch.reshape(1, grid * grid, d)
 
 
 def vit_forward(
@@ -137,16 +137,10 @@ def vit_forward(
         prefix.append(jnp.broadcast_to(
             params["reg_tokens"].astype(x.dtype),
             (B, cfg.num_register_tokens, cfg.hidden_size)))
-    # timm order: cls, (patch+pos); DINOv2 adds pos to cls too then appends regs
+    # timm no_embed_class order: patches + pos first, then prepend cls/regs
     pos = _resize_pos_embed(params["pos_embed"], cfg, grid)
-    if cfg.use_class_token:
-        # DINOv2/timm with class token: pos embed covers [cls, patches]
-        cls = prefix[0] + pos[:, :1].astype(x.dtype)
-        x = x + pos[:, 1:].astype(x.dtype)
-        toks = [cls] + prefix[1:] + [x]
-    else:
-        x = x + pos.astype(x.dtype)
-        toks = prefix + [x]
+    x = x + pos.astype(x.dtype)
+    toks = prefix + [x]
     x = jnp.concatenate(toks, axis=1) if len(toks) > 1 else toks[0]
 
     act = _act(cfg.hidden_act)

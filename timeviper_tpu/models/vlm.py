@@ -39,17 +39,57 @@ from timeviper_tpu.models.projector import (
 
 @dataclass(frozen=True)
 class VLMArch:
-    """Static bundle of configs for the assembled model."""
+    """Static bundle of configs for the assembled model.
+
+    Single-tower models set `vision`; multi-encoder models (the reference's
+    "dinosiglip" / "a+b" registry syntax, vit/registry.py:74-99 and the
+    reconstructed MultiViT, SURVEY.md §2.1 #15) set `vision_backbones` to a
+    tuple of (backbone_id, family, config) and `vision` to the primary
+    (first) tower for sizing.
+    """
 
     vlm: VLMConfig
-    vision: ViTConfig
+    vision: Any  # ViTConfig | InternVideo2Config
     llm: Any  # NanoConfig | Qwen2Config
     llm_family: str  # "nano" | "qwen2"
+    vision_family: str = "siglip"
+    vision_backbones: Optional[Tuple[Tuple[str, str, Any], ...]] = None
 
     @property
     def tokens_per_frame(self) -> int:
         n = self.vlm.num_compressed_tokens
-        return n if n > 0 else self.vision.num_patches
+        if n > 0:
+            n_towers = len(self.vision_backbones) if self.vision_backbones else 1
+            return n * n_towers
+        return self.vision.num_patches
+
+    @property
+    def local_num_frames(self) -> int:
+        """Frames jointly compressed per ToMe call (InternVideo2 clips)."""
+        return (
+            self.vision.num_frames if self.vision_family == "internvideo2"
+            else 1
+        )
+
+
+def _init_one_tower(key, family: str, cfg, dtype):
+    if family == "internvideo2":
+        from timeviper_tpu.models.internvideo2 import init_internvideo2_params
+
+        return init_internvideo2_params(key, cfg, dtype)
+    return vit_mod.init_vit_params(key, cfg, dtype)
+
+
+def _tower_forward(params, family: str, cfg, pixels):
+    if family == "internvideo2":
+        from timeviper_tpu.models.internvideo2 import encode_frames_iv2
+
+        F = pixels.shape[0]
+        clip_feats = encode_frames_iv2(params, cfg, pixels)
+        # (F/T, T*g^2, D) -> per-frame (F, g^2, D); the projector re-groups
+        # with local_num_frames for clip-joint ToMe merging
+        return clip_feats.reshape(F, -1, clip_feats.shape[-1])
+    return vit_mod.vit_forward(params, cfg, pixels)
 
 
 def init_vlm_params(key, arch: VLMArch, dtype=jnp.bfloat16) -> Dict[str, Any]:
@@ -58,12 +98,33 @@ def init_vlm_params(key, arch: VLMArch, dtype=jnp.bfloat16) -> Dict[str, Any]:
         llm_params = nano_mod.init_nano_params(ks[0], arch.llm, dtype)
     else:
         llm_params = qwen2_mod.init_qwen2_params(ks[0], arch.llm, dtype)
-    params = {
-        "vision_backbone": vit_mod.init_vit_params(ks[1], arch.vision, dtype),
-        "projector": init_projector_params(
+
+    if arch.vision_backbones:
+        # MultiViT (reconstructed reference component, SURVEY.md §2.1 #15):
+        # one tower + one projector per backbone id
+        vks = jax.random.split(ks[1], len(arch.vision_backbones))
+        pks = jax.random.split(ks[2], len(arch.vision_backbones))
+        vision_params = {
+            bid.replace("-", "_").replace("+", "_"): _init_one_tower(
+                vk, fam, cfg, dtype)
+            for vk, (bid, fam, cfg) in zip(vks, arch.vision_backbones)
+        }
+        projector = {
+            bid.replace("-", "_").replace("+", "_"): init_projector_params(
+                pk, cfg.hidden_size, arch.llm.hidden_size,
+                arch.vlm.projector_type, dtype)
+            for pk, (bid, fam, cfg) in zip(pks, arch.vision_backbones)
+        }
+    else:
+        vision_params = _init_one_tower(
+            ks[1], arch.vision_family, arch.vision, dtype)
+        projector = init_projector_params(
             ks[2], arch.vision.hidden_size, arch.llm.hidden_size,
             arch.vlm.projector_type, dtype,
-        ),
+        )
+    params = {
+        "vision_backbone": vision_params,
+        "projector": projector,
         "llm_backbone": llm_params,
     }
     merge = init_merge_modules(ks[3], arch.llm, dtype)
@@ -84,15 +145,44 @@ def encode_visual(
     eval (reference generic_vlm.py:274-281 splits into 256-frame clips) —
     chunking happens at the caller (python loop over jit calls) to keep each
     compiled program small.
+
+    Multi-encoder: per-tower features -> per-tower ToMe+MLP -> interleave
+    (reference MultiToMe16_mlp_hd64, projector/tome.py:180-231).
     """
-    feats = vit_mod.vit_forward(params["vision_backbone"], arch.vision, pixels)
-    return projector_forward(
+    n_comp = arch.vlm.num_compressed_tokens
+    if arch.vision_backbones:
+        outs = []
+        for bid, fam, cfg in arch.vision_backbones:
+            k = bid.replace("-", "_").replace("+", "_")
+            feats = _tower_forward(params["vision_backbone"][k], fam, cfg,
+                                   pixels)
+            outs.append(projector_forward(
+                params["projector"][k], feats,
+                projector_type=arch.vlm.projector_type,
+                num_compressed_tokens=n_comp if n_comp > 0 else feats.shape[1],
+                token_order=arch.vlm.visual_token_order,
+                compress="tome" in arch.vlm.projector_type,
+            ))
+        if len(outs) == 1:
+            return outs[0]
+        # interleave per-frame tokens (same counts) or concatenate
+        if all(o.shape == outs[0].shape for o in outs):
+            stacked = jnp.stack(outs, axis=2)  # (F, n, towers, D)
+            return stacked.reshape(outs[0].shape[0], -1, outs[0].shape[-1])
+        return jnp.concatenate(outs, axis=1)
+
+    feats = _tower_forward(
+        params["vision_backbone"], arch.vision_family, arch.vision, pixels)
+    lnf = arch.local_num_frames
+    out = projector_forward(
         params["projector"], feats,
         projector_type=arch.vlm.projector_type,
-        num_compressed_tokens=arch.tokens_per_frame,
+        num_compressed_tokens=n_comp if n_comp > 0 else feats.shape[1],
+        local_num_frames=lnf,
         token_order=arch.vlm.visual_token_order,
         compress="tome" in arch.vlm.projector_type,
     )
+    return out
 
 
 def fuse_embeddings(

@@ -163,9 +163,16 @@ def params_shardings(
 
 
 def shard_params(params: Any, mesh: Mesh, rules=None, fsdp_params: bool = False):
-    """Place a parameter pytree onto the mesh."""
+    """Place a parameter pytree onto the mesh.
+
+    `may_alias=False` forces fresh buffers: device_put would otherwise alias
+    an input that already has the target sharding, and a later donated train
+    step would delete the caller's arrays out from under them.
+    """
     sh = params_shardings(params, mesh, rules, fsdp_params)
-    return jax.tree_util.tree_map(jax.device_put, params, sh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s, may_alias=False), params, sh
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

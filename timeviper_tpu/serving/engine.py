@@ -1,0 +1,226 @@
+"""Batched serving engine — the TPU-native vLLM-path analog.
+
+The reference serves through vLLM with paged KV + TP, feeding externally
+computed prompt embeddings (eval/vllm_inference/vllm_infer.py:42-264;
+SURVEY.md §2.2 N7). A hybrid Mamba model makes paging unnecessary: per
+sequence the state is O(1) for the ~46 Mamba layers (conv state + SSM
+state) plus a fixed-capacity KV for the 4-6 attention layers. This engine
+exploits that with **slot-based continuous batching**:
+
+* The batched cache holds `num_slots` independent sequence states.
+* Prefill runs one request at a time through the bucketed single-row
+  prefill (shared compiled programs with models/generate.py), then the
+  resulting state is *inserted* into a free slot of the batched cache —
+  a pytree scatter, cheap because Mamba state is O(1).
+* Decode steps run ALL active slots in one jitted batched step; finished
+  slots are freed and refilled from the queue (continuous batching).
+* Like the reference's vLLM path, vision encoding + fusion happens outside
+  the engine (prompt embeddings in, vllm_infer.py:118-190).
+
+All shapes are static: (num_slots, max_len) caches + one compiled decode
+step regardless of the request mix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timeviper_tpu.models.generate import Generator
+from timeviper_tpu.models.vlm import VLMArch, decode_step, init_cache
+from timeviper_tpu.ops.sampling import SamplingParams, sample_token
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    input_ids: List[int]
+    pixels: Optional[np.ndarray] = None
+    image_token_id: int = -1
+    max_new_tokens: int = 128
+    # filled by the engine
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _tree_insert(batched, single, slot):
+    """Scatter a single-sequence cache pytree into slot `slot`."""
+    def ins(b, s):
+        return jax.lax.dynamic_update_slice_in_dim(
+            b, s.astype(b.dtype), slot, axis=0
+        )
+
+    return jax.tree_util.tree_map(ins, batched, single)
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        arch: VLMArch,
+        *,
+        terminator_ids: Sequence[int],
+        num_slots: int = 8,
+        max_len: int = 32768,
+        max_new_tokens: int = 128,
+        sampling: SamplingParams = SamplingParams(),
+        pad_token_id: int = 0,
+        cache_dtype=jnp.bfloat16,
+    ) -> None:
+        self.params = params
+        self.arch = arch
+        self.num_slots = num_slots
+        self.max_len = max_len
+        self.max_new_tokens = max_new_tokens
+        self.sampling = sampling
+        self.terminators = tuple(int(t) for t in terminator_ids)
+        # single-row prefill machinery shared with the offline generator
+        self._gen = Generator(
+            params, arch, terminator_ids=terminator_ids,
+            pad_token_id=pad_token_id, max_new_tokens=max_new_tokens,
+            sampling=sampling, cache_dtype=cache_dtype,
+        )
+        self.cache = init_cache(arch, num_slots, max_len, cache_dtype)
+        # per-slot host state
+        self.slot_req: List[Optional[Request]] = [None] * num_slots
+        self.slot_lengths = np.zeros((num_slots,), np.int32)
+        self.slot_valid_from = np.zeros((num_slots,), np.int32)
+        self.queue: List[Request] = []
+        self._insert_fn = jax.jit(_tree_insert, static_argnames=())
+        self._decode_fn = None
+        self._last_tokens = np.zeros((num_slots,), np.int32)
+
+    # ------------------------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, r in enumerate(self.slot_req) if r is None]
+
+    def _prefill_into_slot(self, req: Request, slot: int) -> None:
+        visual = None
+        if req.pixels is not None:
+            visual = self._gen.encode_frames(req.pixels)
+        # reuse the generator's bucketed prefill: returns (logits, cache)
+        from timeviper_tpu.data.fusion import plan_fusion
+
+        ids = list(req.input_ids)
+        plan = plan_fusion(ids, req.image_token_id, self.arch.tokens_per_frame)
+        from timeviper_tpu.models.generate import pick_bucket
+
+        bucket = pick_bucket(plan.fused_len)
+        pad = bucket - plan.fused_len
+        gather_idx = np.concatenate(
+            [np.zeros((pad,), np.int32), plan.gather_idx])
+        seq_idx = np.concatenate(
+            [np.full((pad,), -1, np.int32),
+             np.zeros((plan.fused_len,), np.int32)])
+        layouts = tuple(
+            (vs + (pad if i == 0 else 0), nv, ts)
+            for i, (vs, nv, ts) in enumerate(plan.sample_layouts)
+        )
+        prefill = self._gen._get_prefill(
+            bucket, layouts, self.max_len, False, None)
+        if visual is None:
+            visual = jnp.zeros(
+                (0, self.arch.llm.hidden_size), jnp.bfloat16)
+        ids_arr = np.asarray(ids, np.int32)
+        ids_arr = np.where(ids_arr == req.image_token_id, 0, ids_arr)
+        logits, cache1 = prefill(
+            self.params, jnp.asarray(ids_arr),
+            jnp.asarray(gather_idx), jnp.asarray(seq_idx), visual, pad,
+        )
+        # sample the first token on the host (once per request)
+        tok = int(np.asarray(sample_token(
+            logits, jax.random.PRNGKey(req.request_id), self.sampling))[0])
+        req.output_ids.append(tok)
+        if tok in self.terminators or req.max_new_tokens <= 1:
+            req.done = True
+            return
+        # insert the single-row cache into the batched cache at `slot`
+        self.cache = {
+            "layers": [
+                _tree_insert(bl, sl, slot)
+                for bl, sl in zip(self.cache["layers"], cache1["layers"])
+            ],
+            "length": self.cache["length"],
+            "valid_from": self.cache["valid_from"],
+        }
+        self.slot_req[slot] = req
+        self.slot_lengths[slot] = int(np.asarray(cache1["length"]))
+        self.slot_valid_from[slot] = int(np.asarray(cache1["valid_from"]))
+        self._last_tokens[slot] = tok
+
+    def _get_decode(self):
+        if self._decode_fn is None:
+            arch = self.arch
+
+            def step(params, tokens, cache, lengths, valid_from, key):
+                # per-slot lengths: override the scalar cache length with a
+                # vector — decode_step uses cache["length"] for positions and
+                # KV writes, so run with per-slot state via vmap
+                def one(p, tok, layers, length, vf):
+                    # vmap strips the slot axis; decode_step expects batch=1
+                    layers = jax.tree_util.tree_map(lambda x: x[None], layers)
+                    c = {"layers": layers, "length": length,
+                         "valid_from": vf}
+                    logits, c2 = decode_step(p, arch, tok[None, None], c)
+                    new_layers = jax.tree_util.tree_map(
+                        lambda x: x[0], c2["layers"])
+                    return logits[0], new_layers
+
+                # vmap over slots; params broadcast
+                logits, new_layers = jax.vmap(
+                    one, in_axes=(None, 0, 0, 0, 0))(
+                    params, tokens, cache["layers"], lengths, valid_from)
+                nxt = sample_token(logits, key, self.sampling)
+                return nxt, {"layers": new_layers,
+                             "length": cache["length"],
+                             "valid_from": cache["valid_from"]}
+
+            self._decode_fn = jax.jit(step)
+        return self._decode_fn
+
+    def _decode_once(self, rng_key) -> None:
+        active = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active:
+            return
+        step = self._get_decode()
+        tokens = jnp.asarray(self._last_tokens)
+        lengths = jnp.asarray(self.slot_lengths)
+        vf = jnp.asarray(self.slot_valid_from)
+        nxt, self.cache = step(
+            self.params, tokens, self.cache, lengths, vf, rng_key)
+        nxt = np.asarray(nxt)
+        for i in active:
+            req = self.slot_req[i]
+            tok = int(nxt[i])
+            req.output_ids.append(tok)
+            self.slot_lengths[i] += 1
+            self._last_tokens[i] = tok
+            if (tok in self.terminators
+                    or len(req.output_ids) >= req.max_new_tokens):
+                req.done = True
+                self.slot_req[i] = None
+
+    # ------------------------------------------------------------------
+
+    def run(self, requests: Sequence[Request], rng_seed: int = 0) -> List[Request]:
+        """Process all requests to completion (continuous batching)."""
+        for r in requests:
+            self.submit(r)
+        key = jax.random.PRNGKey(rng_seed)
+        while self.queue or any(r is not None for r in self.slot_req):
+            # fill free slots from the queue (continuous batching)
+            for slot in self._free_slots():
+                if not self.queue:
+                    break
+                self._prefill_into_slot(self.queue.pop(0), slot)
+            key, sub = jax.random.split(key)
+            self._decode_once(sub)
+        return list(requests)

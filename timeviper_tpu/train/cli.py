@@ -1,0 +1,194 @@
+"""Training CLI.
+
+Mirrors the reference train.py argument surface (train.py:55-237): model
+assembly flags (vision/llm backbone ids, arch_specifier), per-module LRs,
+freezing via --trainable_modules, pdrop/TransV flags, YAML data config, and
+mesh/parallelism flags in place of the accelerate/DeepSpeed launcher zoo.
+
+  python -m timeviper_tpu.train.cli --data_config data.yaml \
+      --llm_backbone_id nano-9b-v2 --vision_backbone_id \
+      siglip-vit-so400m-384px --run_dir runs/exp1 \
+      --data_parallel 4 --model_parallel 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="TimeViper-TPU training")
+    # model (reference ModelArguments, train.py:133-237)
+    p.add_argument("--vision_backbone_id", default="siglip-vit-so400m-384px")
+    p.add_argument("--llm_backbone_id", default="nano-9b-v2")
+    p.add_argument("--arch_specifier", default="tome_mlp-16")
+    p.add_argument("--conv_template", default="nano_base")
+    p.add_argument("--pretrained_checkpoint", default=None,
+                   help="torch/orbax VLM checkpoint to start from")
+    p.add_argument("--tokenizer_path", default=None)
+    p.add_argument("--use_pdrop", action="store_true")
+    p.add_argument("--pdrop_type", default=None,
+                   help="e.g. uni_14_0.8-attn_21_0.6")
+    p.add_argument("--merge_module", default="no_merge",
+                   choices=["no_merge", "CrossAttention"])
+    p.add_argument("--trainable_modules", default=None,
+                   help="comma substrings, e.g. 'projector,merge'")
+    # data (reference DataArguments, train.py:79-131)
+    p.add_argument("--data_config", required=True, help="YAML dataset list")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_workers", type=int, default=2)
+    # optim (reference TrainingArguments, train.py:55-78)
+    p.add_argument("--learning_rate", type=float, default=1e-5)
+    p.add_argument("--vision_lr", type=float, default=None)
+    p.add_argument("--projector_lr", type=float, default=None)
+    p.add_argument("--merge_lr", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_steps", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=1000)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    # run
+    p.add_argument("--run_dir", default="runs/default")
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--save_every", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_resume", action="store_true")
+    # parallelism
+    p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--no_fsdp", action="store_true")
+    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--debug_nans", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    from timeviper_tpu.config import VLMConfig
+    from timeviper_tpu.data.conversation import CONV_TEMPLATES
+    from timeviper_tpu.data.datasets import ConcatDataset, load_data_from_config
+    from timeviper_tpu.data.image_processing import transform_for_family
+    from timeviper_tpu.data.loader import DataLoader
+    from timeviper_tpu.data.processor import Processor
+    from timeviper_tpu.config import get_vision_backbone_config
+    from timeviper_tpu.models.api import build_arch
+    from timeviper_tpu.models.vlm import init_vlm_params
+    from timeviper_tpu.train.optim import OptimConfig
+    from timeviper_tpu.train.trainer import Trainer, TrainerConfig
+    from timeviper_tpu.utils.overwatch import initialize_overwatch, tee_output
+    from timeviper_tpu.utils.profiling import nan_debug
+
+    overwatch = initialize_overwatch("train")
+    os.makedirs(args.run_dir, exist_ok=True)
+    if jax.process_index() == 0:
+        tee_output(os.path.join(args.run_dir, "train.log"))
+
+    llm_overrides = {}
+    if args.use_pdrop:
+        llm_overrides = dict(
+            use_pdrop=True, pdrop_type=args.pdrop_type,
+            merge_module=args.merge_module,
+        )
+    vlm_cfg = VLMConfig(
+        vision_backbone_id=args.vision_backbone_id,
+        llm_backbone_id=args.llm_backbone_id,
+        arch_specifier=args.arch_specifier,
+    )
+    arch = build_arch(vlm_cfg)
+    if llm_overrides:
+        arch = dataclasses.replace(
+            arch, llm=dataclasses.replace(arch.llm, **llm_overrides)
+        )
+
+    # params: pretrained or fresh
+    if args.pretrained_checkpoint:
+        from timeviper_tpu.models.api import load_pretrained_vlm
+
+        model = load_pretrained_vlm(args.pretrained_checkpoint)
+        params, processor = model.params, model.processor
+    else:
+        overwatch.info("initializing fresh parameters")
+        params = init_vlm_params(
+            jax.random.PRNGKey(args.seed), arch, dtype=jnp.float32
+        )
+        from transformers import AutoTokenizer
+
+        tok_path = args.tokenizer_path or args.pretrained_checkpoint
+        assert tok_path, "--tokenizer_path required without a checkpoint"
+        ventry = get_vision_backbone_config(args.vision_backbone_id)
+        processor = Processor.build(
+            AutoTokenizer.from_pretrained(tok_path, use_fast=True),
+            transform_for_family(
+                ventry["family"] if ventry["family"] != "multi" else "siglip",
+                arch.vision.image_size,
+            ),
+            arch.llm_family,
+        )
+
+    datasets = load_data_from_config(
+        args.data_config, processor, template_name=args.conv_template
+    )
+    dataset = ConcatDataset(datasets)
+    loader = DataLoader(
+        dataset, args.batch_size,
+        image_token_id=processor.image_token_id,
+        tokens_per_frame=arch.tokens_per_frame,
+        pad_token_id=processor.tokenizer.pad_token_id or 0,
+        num_workers=args.num_workers, seed=args.seed,
+    )
+
+    optim_cfg = OptimConfig(
+        learning_rate=args.learning_rate,
+        vision_lr=args.vision_lr, projector_lr=args.projector_lr,
+        merge_lr=args.merge_lr, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, total_steps=args.max_steps,
+        max_grad_norm=args.max_grad_norm,
+    )
+    trainer_cfg = TrainerConfig(
+        run_dir=args.run_dir, max_steps=args.max_steps,
+        log_every=args.log_every, save_every=args.save_every,
+        seed=args.seed,
+        data_parallel=args.data_parallel,
+        model_parallel=args.model_parallel,
+        fsdp_params=not args.no_fsdp, remat=not args.no_remat,
+        use_pdrop=args.use_pdrop,
+        trainable_modules=args.trainable_modules,
+        resume=not args.no_resume,
+    )
+    trainer = Trainer(arch, params, optim_cfg, trainer_cfg)
+
+    with nan_debug(args.debug_nans):
+        epoch = 0
+        while int(trainer.state.step) < args.max_steps:
+            overwatch.info(f"epoch {epoch}")
+            trainer.train(loader.epoch(epoch))
+            epoch += 1
+
+    # final artifacts (reference save_training_artifacts, train.py:240-273)
+    from timeviper_tpu.train.checkpoint import save_params
+
+    final = os.path.join(args.run_dir, "final", "orbax")
+    save_params(final, trainer.state.params, meta={
+        "vision_backbone_id": args.vision_backbone_id,
+        "llm_backbone_id": args.llm_backbone_id,
+        "arch_specifier": args.arch_specifier,
+        "conv_template": args.conv_template,
+    })
+    with open(os.path.join(args.run_dir, "final", "config.json"), "w") as f:
+        json.dump({
+            "vision_backbone_id": args.vision_backbone_id,
+            "llm_backbone_id": args.llm_backbone_id,
+            "arch_specifier": args.arch_specifier,
+            "conv_template": args.conv_template,
+        }, f, indent=2)
+    overwatch.info(f"final artifacts at {os.path.join(args.run_dir, 'final')}")
+
+
+if __name__ == "__main__":
+    main()

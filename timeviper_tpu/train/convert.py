@@ -208,6 +208,12 @@ def convert_timm_vit(
         layers.append(layer)
 
     pe_w = sd["patch_embed.proj.weight"]  # (D, 3, ps, ps)
+    pos = sd["pos_embed"].astype(np.float32)
+    if pos.shape[1] == cfg.num_patches + 1:
+        # timm embed-class layout stores a cls row first; our forward uses
+        # no_embed_class semantics (patches only) — drop it
+        pos = pos[:, 1:]
+    assert pos.shape[1] == cfg.num_patches, (pos.shape, cfg.num_patches)
     params = {
         "patch_embed": {
             # -> (ps, ps, 3, D) for NHWC conv
@@ -215,7 +221,7 @@ def convert_timm_vit(
                 pe_w.transpose(2, 3, 1, 0)).astype(dtype),
             "bias": sd["patch_embed.proj.bias"].astype(dtype),
         },
-        "pos_embed": sd["pos_embed"].astype(np.float32),
+        "pos_embed": pos,
         "layers": layers,
     }
     if cfg.use_class_token and "cls_token" in sd:

@@ -1,0 +1,160 @@
+"""Training loop: sharded jit step + logging + checkpoint/resume + crash save.
+
+TPU re-design of HfMultiTaskTrainer + the train.py driver (reference:
+hf_mtask_trainer/trainer.py:75-298, train.py:421-528): one Mesh, one jitted
+step (train/step.py), per-module LR groups (train/optim.py), metric
+aggregation each log interval, `checkpoint-<step>` dirs with auto-resume,
+and an emergency save on any exception (train.py:515-528).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from timeviper_tpu.data.loader import CollatedBatch
+from timeviper_tpu.models.vlm import VLMArch
+from timeviper_tpu.parallel.sharding import (
+    make_mesh,
+    params_shardings,
+    shard_params,
+)
+from timeviper_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from timeviper_tpu.train.optim import OptimConfig, apply_freeze, build_optimizer
+from timeviper_tpu.train.step import TrainState, init_train_state, make_train_step
+from timeviper_tpu.utils.overwatch import initialize_overwatch
+
+overwatch = initialize_overwatch("trainer")
+
+
+@dataclass
+class TrainerConfig:
+    run_dir: str = "runs/default"
+    max_steps: int = 1000
+    log_every: int = 10
+    save_every: int = 500
+    keep_checkpoints: int = 3
+    seed: int = 0
+    # mesh
+    data_parallel: int = 1
+    model_parallel: int = 1
+    fsdp_params: bool = True
+    # behavior
+    remat: bool = True
+    use_pdrop: bool = False
+    trainable_modules: Optional[str] = None  # comma substrings; None = all
+    resume: bool = True
+
+
+class Trainer:
+    def __init__(
+        self,
+        arch: VLMArch,
+        params: Dict[str, Any],
+        optim_cfg: OptimConfig,
+        trainer_cfg: TrainerConfig,
+    ) -> None:
+        self.arch = arch
+        self.cfg = trainer_cfg
+        self.mesh = make_mesh(
+            data=trainer_cfg.data_parallel, model=trainer_cfg.model_parallel
+        )
+        overwatch.info(f"mesh: {dict(self.mesh.shape)}")
+
+        params = shard_params(params, self.mesh,
+                              fsdp_params=trainer_cfg.fsdp_params)
+        self.param_shardings = params_shardings(
+            params, self.mesh, fsdp_params=trainer_cfg.fsdp_params
+        )
+        tx = build_optimizer(optim_cfg, params)
+        tx = apply_freeze(tx, params, trainer_cfg.trainable_modules)
+        self.tx = tx
+        self.state = init_train_state(params, tx)
+        self._step_fns: Dict[Any, Callable] = {}
+        self.batch_sharding = NamedSharding(self.mesh, P("data"))
+
+        if trainer_cfg.resume:
+            ckpt = latest_checkpoint(trainer_cfg.run_dir)
+            if ckpt:
+                overwatch.info(f"resuming from {ckpt}")
+                self.state = restore_checkpoint(ckpt, self.state)
+
+    # -- jit cache keyed by fusion plan (static shapes per plan) ---------
+
+    def _get_step(self, plan):
+        key = (plan.fused_len, plan.text_len, plan.num_visual,
+               plan.sample_layouts)
+        if key not in self._step_fns:
+            step = make_train_step(
+                self.arch, self.tx, plan,
+                use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+            )
+            self._step_fns[key] = jax.jit(step, donate_argnums=(0,))
+        return self._step_fns[key]
+
+    def train_step(self, cb: CollatedBatch) -> Dict[str, float]:
+        batch = {
+            k: jax.device_put(jnp.asarray(v), self.batch_sharding)
+            for k, v in cb.batch.items()
+        }
+        step_fn = self._get_step(cb.plan)
+        with self.mesh:
+            self.state, metrics = step_fn(self.state, batch)
+        return metrics
+
+    # -- main loop -------------------------------------------------------
+
+    def train(self, batches) -> TrainState:
+        """`batches`: iterable of CollatedBatch (e.g. DataLoader.epoch())."""
+        cfg = self.cfg
+        accum: Dict[str, float] = {}
+        n_accum = 0
+        t_log = time.perf_counter()
+        try:
+            for cb in batches:
+                step_i = int(self.state.step)
+                if step_i >= cfg.max_steps:
+                    break
+                metrics = self.train_step(cb)
+                # metrics fetch forces completion (host sync point)
+                loss = float(np.asarray(metrics["loss"]))
+                accum["loss"] = accum.get("loss", 0.0) + loss
+                accum["grad_norm"] = accum.get("grad_norm", 0.0) + float(
+                    np.asarray(metrics["grad_norm"]))
+                n_accum += 1
+                step_i += 1
+
+                if step_i % cfg.log_every == 0 and n_accum:
+                    dt = time.perf_counter() - t_log
+                    overwatch.info(
+                        f"step {step_i} | loss {accum['loss'] / n_accum:.4f} "
+                        f"| gnorm {accum['grad_norm'] / n_accum:.3f} "
+                        f"| {dt / n_accum:.2f}s/step"
+                    )
+                    accum, n_accum = {}, 0
+                    t_log = time.perf_counter()
+
+                if step_i % cfg.save_every == 0:
+                    path = save_checkpoint(
+                        cfg.run_dir, step_i, self.state,
+                        keep=cfg.keep_checkpoints,
+                    )
+                    overwatch.info(f"saved {path}")
+        except Exception:
+            # crash-save (reference train.py:515-528)
+            step_i = int(self.state.step)
+            overwatch.error(f"exception at step {step_i}; emergency save")
+            save_checkpoint(cfg.run_dir, step_i, self.state,
+                            keep=cfg.keep_checkpoints + 1)
+            raise
+        return self.state
