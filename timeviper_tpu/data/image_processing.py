@@ -86,7 +86,32 @@ class ImageTransform:
         return x
 
     def batch(self, frames: Sequence[np.ndarray]) -> np.ndarray:
-        """list of (H, W, 3) uint8 -> (F, S, S, 3) float32."""
+        """list of (H, W, 3) uint8 -> (F, S, S, 3) float32.
+
+        Uses the native threaded C++ path (data/native.py) when available
+        and all frames share one shape under resize-naive; PIL otherwise.
+        """
+        import os
+
+        frames = list(frames)
+        if (
+            self.resize_strategy == "resize-naive"
+            and len(frames) > 1
+            and all(f.shape == frames[0].shape for f in frames)
+            and frames[0].dtype == np.uint8
+            # thread-parallel native path pays off with real core counts;
+            # single-threaded PIL (fixed-point SIMD) wins on tiny hosts
+            and (os.cpu_count() or 1) >= 4
+        ):
+            from timeviper_tpu.data.native import (
+                native_available,
+                preprocess_frames_native,
+            )
+
+            if native_available():
+                return preprocess_frames_native(
+                    np.stack(frames), self.image_size, self.mean, self.std
+                )
         return np.stack([self(f) for f in frames], axis=0)
 
 

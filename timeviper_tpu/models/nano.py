@@ -174,6 +174,12 @@ def _apply_linear(p, x, precision=None):
                    precision=precision)
     if p.get("bias") is not None:
         y = y + p["bias"].astype(y.dtype)
+    if "lora_a" in p:  # LoRA delta (train/lora.py)
+        delta = jnp.einsum(
+            "...i,ir,ro->...o", x,
+            p["lora_a"].astype(x.dtype), p["lora_b"].astype(x.dtype),
+        )
+        y = y + delta * p["lora_scale"].astype(y.dtype)
     return y
 
 

@@ -1,0 +1,135 @@
+"""LoRA adapters for linear layers — functional pytree surgery.
+
+Replaces the reference's peft wrap (train.py:364-383: find_all_linear_names
+over the LLM, LoraConfig(r, alpha, dropout), plus the lora/non-lora state
+split at save, train_utils.py:126-158). Here a LoRA "wrap" is data, not
+classes: every targeted `{kernel}` leaf gains sibling `lora_a`/`lora_b`
+factors, the forward adds `x @ a @ b * (alpha/r)` when they exist, and
+training freezes everything except the factors via the same
+`trainable_modules` masking used for module freezing (train/optim.py).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_TARGETS = (
+    # nano + qwen2 + projector linear kernels (find_all_linear_names analog)
+    r".*(q_proj|k_proj|v_proj|o_proj|up_proj|down_proj|gate_proj)/kernel",
+    r".*in_proj/(gate|x|B|C|dt)/kernel",
+    r".*out_proj/kernel",
+)
+
+
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(k, "key", getattr(k, "idx", ""))) for k in path
+    )
+
+
+def add_lora(
+    params: Any,
+    rank: int = 8,
+    alpha: float = 16.0,
+    targets: Tuple[str, ...] = DEFAULT_TARGETS,
+    key: Optional[jax.Array] = None,
+    scope: str = "llm_backbone",
+) -> Any:
+    """Return params with lora_a/lora_b planted next to targeted kernels.
+
+    a ~ N(0, 1/r) (kaiming-ish), b = 0 — so the wrapped model starts
+    exactly equal to the base model (peft init semantics).
+    """
+    key = key if key is not None else jax.random.PRNGKey(0)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    n = sum(1 for _ in flat)
+    keys = iter(jax.random.split(key, n))
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            out = dict(node)
+            for k, v in node.items():
+                out[k] = walk(v, f"{prefix}/{k}" if prefix else str(k))
+            # plant factors next to a matched kernel
+            kp = f"{prefix}/kernel" if prefix else "kernel"
+            if (
+                "kernel" in node
+                and (not scope or kp.startswith(scope) or scope in kp)
+                and any(re.fullmatch(t, kp) for t in targets)
+                and getattr(node["kernel"], "ndim", 0) == 2
+            ):
+                d_in, d_out = node["kernel"].shape
+                k_ = next(keys)
+                out["lora_a"] = (
+                    jax.random.normal(k_, (d_in, rank)) / math.sqrt(rank)
+                ).astype(node["kernel"].dtype)
+                out["lora_b"] = jnp.zeros((rank, d_out), node["kernel"].dtype)
+                out["lora_scale"] = jnp.asarray(alpha / rank, jnp.float32)
+            return out
+        if isinstance(node, list):
+            return [walk(v, f"{prefix}/{i}") for i, v in enumerate(node)]
+        return node
+
+    return walk(params, "")
+
+
+def lora_linear(p: Dict[str, Any], x: jax.Array) -> jax.Array:
+    """Linear apply with optional LoRA delta (used by model _apply_linear)."""
+    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(y.dtype)
+    if "lora_a" in p:
+        delta = jnp.einsum(
+            "...i,ir,ro->...o", x,
+            p["lora_a"].astype(x.dtype), p["lora_b"].astype(x.dtype),
+        )
+        y = y + delta * p["lora_scale"].astype(y.dtype)
+    return y
+
+
+def merge_lora(params: Any) -> Any:
+    """Fold lora factors into kernels (deploy-time merge)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {k: walk(v) for k, v in node.items() if not k.startswith("lora_")}
+            if "lora_a" in node:
+                delta = (
+                    node["lora_a"].astype(jnp.float32)
+                    @ node["lora_b"].astype(jnp.float32)
+                ) * node["lora_scale"]
+                out["kernel"] = (
+                    node["kernel"].astype(jnp.float32) + delta
+                ).astype(node["kernel"].dtype)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
+def split_lora_state(params: Any) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """{path: leaf} split into (lora, non_lora) — the reference's
+    lora vs non_lora_trainables.bin artifact split (train_utils.py:126-158).
+    """
+    lora, non_lora = {}, {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        p = _path_str(path)
+        (lora if "/lora_" in p or p.endswith("lora_scale") else non_lora)[p] = leaf
+    return lora, non_lora
+
+
+def lora_trainable_mask(params: Any) -> Any:
+    """True only for lora factors — pairs with optax.masked freezing."""
+
+    def leaf(path, _):
+        p = _path_str(path)
+        return "lora_a" in p or "lora_b" in p
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
