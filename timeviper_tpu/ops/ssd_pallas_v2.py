@@ -1,0 +1,246 @@
+"""Pallas SSD kernel, v2: fewer grid steps, head-batched compute.
+
+Same algorithm as ops/ssd_pallas.py (see its docstring) with two
+performance changes measured on v5e:
+
+* `groups_per_step` state groups are processed per grid step (default 4),
+  cutting the sequential chunk-grid length 4x — per-step fixed costs
+  (control flow, DMA round-trips) amortize over 4x more FLOPs.
+* Per-head work is expressed as head-batched tensor ops (one masked decay
+  tensor (R', cs, cs), one batched matmul) instead of a 16-iteration
+  unrolled python loop — Mosaic schedules one big op rather than 48 tiny
+  ones.
+
+VMEM at the 9B scale with groups_per_step=4 (R'=64 heads, cs=256, P=64,
+N=128): x/y tiles 2 MB each, state carry 2 MB, decay tensor 2 MB (bf16) —
+~10 MB with double buffering, inside the 16 MB budget.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from timeviper_tpu.ops.ssd import ssd_chunked
+
+
+def _ssd_kernel_v2(
+    x_ref,      # (GS, R, cs, P) this step's groups
+    dt_ref,     # (GS, R, cs)
+    A_ref,      # (GS, R) this step's block
+    dtb_ref,    # (GS, R) this step's block
+    B_ref,      # (GS, cs, N)
+    C_ref,      # (GS, cs, N)
+    D_ref,      # (GS, R) this step's block
+    seg_ref,    # (cs,)
+    y_ref,      # (GS, R, cs, P)
+    st_ref,     # (GS, R, P, N)
+    state,      # VMEM (GS, R, P, N) f32
+    segprev,    # SMEM (1,)
+    *,
+    GS: int, R: int, cs: int, P: int, N: int, nc: int,
+    dt_softplus: bool, dt_lo: float, dt_hi: float,
+):
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _():
+        state[...] = jnp.zeros_like(state)
+        segprev[0] = seg_ref[0]
+
+    seg = seg_ref[...]
+    seg_prev = segprev[0]
+
+    # (GS, R, cs) f32
+    dt = dt_ref[...].astype(jnp.float32) + dtb_ref[...][..., None]
+    if dt_softplus:
+        dt = jax.nn.softplus(dt)
+    if dt_lo > 0.0 or dt_hi != float("inf"):
+        dt = jnp.clip(dt, dt_lo, dt_hi)
+    dA = dt * A_ref[...][..., None]  # (GS, R, cs)
+
+    # cumsum via triangular matmul on the lane dim
+    ii = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    tri = (ii <= jj).astype(jnp.float32)
+    Acs = jax.lax.dot_general(
+        dA.reshape(GS * R, cs), tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(GS, R, cs)
+
+    Bc = B_ref[...]  # (GS, cs, N) input dtype
+    Cc = C_ref[...]
+    # batched group attention logits: (GS, cs, cs)
+    CB = jax.lax.dot_general(
+        Cc, Bc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+    causal = ii >= jj
+    same_seg = seg[:, None] == seg[None, :]
+    keep2d = causal & same_seg  # (cs, cs)
+    cont = (seg == seg_prev).astype(jnp.float32)
+    no_boundary = jnp.logical_and(
+        seg[0] == seg[cs - 1], seg[0] == seg_prev
+    ).astype(jnp.float32)
+    keep_last = (seg == seg[cs - 1]).astype(jnp.float32)
+
+    xf = x_ref[...].astype(jnp.float32)  # (GS, R, cs, P)
+    xdt = xf * dt[..., None]
+
+    # head-batched decay tensor (GS, R, cs, cs)
+    Lmat = jnp.exp(Acs[..., :, None] - Acs[..., None, :])
+    M = jnp.where(keep2d[None, None], CB[:, None] * Lmat, 0.0)
+    # y_diag: batched matmul over (GS, R): (cs, cs) @ (cs, P)
+    y_diag = jax.lax.dot_general(
+        M.astype(x_ref.dtype), xdt.astype(x_ref.dtype),
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (GS, R, cs, P)
+
+    # inbound contribution: (GS, cs, N) x (GS, R, P, N) -> (GS, R, cs, P)
+    h_in = state[...]
+    y_off = jax.lax.dot_general(
+        jnp.broadcast_to(Cc[:, None], (GS, R, cs, N)).astype(x_ref.dtype),
+        h_in.astype(x_ref.dtype),
+        (((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    w_out = jnp.exp(Acs) * cont[None, None, :]  # (GS, R, cs)
+    D_blk = D_ref[...]
+    y = y_diag + y_off * w_out[..., None] + D_blk[..., None, None] * xf
+    y_ref[...] = y.astype(y_ref.dtype)
+
+    # local chunk states: (GS, R, P, N)
+    w_st = jnp.exp(Acs[..., -1:] - Acs) * keep_last[None, None, :]
+    st_local = jax.lax.dot_general(
+        (xdt * w_st[..., None]).astype(x_ref.dtype),
+        jnp.broadcast_to(Bc[:, None], (GS, R, cs, N)).astype(x_ref.dtype),
+        (((2,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    # keepdim slice: scalar lane indexing doesn't lower on TPU
+    chunk_decay = jnp.exp(Acs[..., cs - 1 : cs]) * no_boundary  # (GS, R, 1)
+    state[...] = state[...] * chunk_decay[..., None] + st_local
+
+    segprev[0] = seg[cs - 1]
+
+    @pl.when(c == nc - 1)
+    def _():
+        st_ref[...] = state[...]
+
+
+def ssd_pallas_v2(
+    x: jax.Array,
+    dt: jax.Array,
+    A: jax.Array,
+    B_: jax.Array,
+    C: jax.Array,
+    chunk_size: int = 256,
+    D: Optional[jax.Array] = None,
+    dt_bias: Optional[jax.Array] = None,
+    dt_softplus: bool = True,
+    dt_limit: Tuple[float, float] = (0.0, float("inf")),
+    seq_idx: Optional[jax.Array] = None,
+    return_final_state: bool = True,
+    groups_per_step: int = 4,
+    interpret: bool = False,
+):
+    Bsz, L, H, P = x.shape
+    G, N = B_.shape[-2], B_.shape[-1]
+    R = H // G
+    GS = min(groups_per_step, G)
+    while G % GS:
+        GS -= 1
+    cs = chunk_size
+    pad = (cs - L % cs) % cs
+    Lp = L + pad
+    nc = Lp // cs
+
+    if seq_idx is None:
+        seq_idx = jnp.zeros((Bsz, L), jnp.int32)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        B_ = jnp.pad(B_, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        padmask = jnp.arange(Lp) >= L
+        # softplus(-inf) = 0 -> pads leave the state untouched
+        dt = jnp.where(padmask[None, :, None], -jnp.inf, dt)
+        seq_idx = jnp.pad(seq_idx, ((0, 0), (0, pad)), mode="edge")
+
+    xb = jnp.transpose(x, (0, 2, 1, 3)).reshape(Bsz, G, R, Lp, P)
+    dtb_in = jnp.transpose(dt, (0, 2, 1)).reshape(Bsz, G, R, Lp)
+    Bb = jnp.transpose(B_, (0, 2, 1, 3))
+    Cb = jnp.transpose(C, (0, 2, 1, 3))
+    Ab = A.reshape(G // GS, GS, R).astype(jnp.float32)
+    dtbias = (
+        dt_bias if dt_bias is not None else jnp.zeros((H,), jnp.float32)
+    ).reshape(G // GS, GS, R).astype(jnp.float32)
+    Db = (
+        D if D is not None else jnp.zeros((H,), jnp.float32)
+    ).reshape(G // GS, GS, R).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _ssd_kernel_v2,
+        GS=GS, R=R, cs=cs, P=P, N=N, nc=nc,
+        dt_softplus=dt_softplus,
+        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
+    )
+    grid = (Bsz, G // GS, nc)
+    y, st = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, GS, R, cs, P),
+                         lambda b, g, c: (b, g, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, GS, R, cs), lambda b, g, c: (b, g, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, GS, R), lambda b, g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, GS, R), lambda b, g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, GS, cs, N), lambda b, g, c: (b, g, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, GS, cs, N), lambda b, g, c: (b, g, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, GS, R), lambda b, g, c: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cs), lambda b, g, c: (b, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, GS, R, cs, P),
+                         lambda b, g, c: (b, g, 0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, GS, R, P, N),
+                         lambda b, g, c: (b, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bsz, G, R, Lp, P), x.dtype),
+            jax.ShapeDtypeStruct((Bsz, G, R, P, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GS, R, P, N), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xb, dtb_in, Ab, dtbias, Bb, Cb, Db, seq_idx)
+
+    y = jnp.transpose(y.reshape(Bsz, H, Lp, P), (0, 2, 1, 3))
+    if pad:
+        y = y[:, :L]
+    final_state = st.reshape(Bsz, H, P, N)
+    if return_final_state:
+        return y, final_state
+    return y
