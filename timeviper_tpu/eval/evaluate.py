@@ -49,6 +49,10 @@ def get_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--conv_template", type=str, default="nano_base")
     p.add_argument("--use_pdrop", action="store_true")
+    p.add_argument("--use_serving_engine", action="store_true",
+                   help="batch generation through the continuous-batching "
+                        "engine (the reference's --use_vllm_inference analog)")
+    p.add_argument("--serving_slots", type=int, default=4)
     p.add_argument("--score_only", action="store_true")
     p.add_argument("--limit", type=int, default=0,
                    help="debug: cap the number of items")
@@ -113,28 +117,61 @@ def main(argv=None):
         finished_qids=finished,
     )
 
+    answer_prompt = MCQ_ANSWER_PROMPT if datatype == "mcq" else None
+
+    def record(f, item, text):
+        if datatype == "mcq" and answer_prompt:
+            text = "(" + text
+        rec = {
+            "qid": item["qid"],
+            "pred": extract_answer(text, datatype),
+            "target": item["target"],
+            "output_text": text,
+            "duration": item.get("duration"),
+            "task_type": item.get("task_type"),
+        }
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+
     t_start = time.perf_counter()
     with open(out_path, "a") as f:
-        for i in range(len(ds)):
-            item = ds[i]
-            answer_prompt = MCQ_ANSWER_PROMPT if datatype == "mcq" else None
-            text = model.generate(
-                item["input_ids"], pixels=item["pixels"],
-                answer_prompt=answer_prompt,
+        if args.use_serving_engine:
+            from timeviper_tpu.serving import Request, ServingEngine
+
+            ans_ids = (model.processor.tokenize(answer_prompt)
+                       if answer_prompt else [])
+            eng = ServingEngine(
+                model.params, model.arch,
+                terminator_ids=model.processor.terminator_ids,
+                num_slots=args.serving_slots,
+                max_len=32768, max_new_tokens=args.max_new_tokens,
             )
-            if datatype == "mcq" and answer_prompt:
-                text = "(" + text
-            pred = extract_answer(text, datatype)
-            rec = {
-                "qid": item["qid"],
-                "pred": pred,
-                "target": item["target"],
-                "output_text": text,
-                "duration": item.get("duration"),
-                "task_type": item.get("task_type"),
-            }
-            f.write(json.dumps(rec) + "\n")
-            f.flush()
+            # batch in slot-count waves; vision encode happens in prefill
+            wave = args.serving_slots * 2
+            for s in range(0, len(ds), wave):
+                items = [ds[i] for i in range(s, min(s + wave, len(ds)))]
+                reqs = [
+                    Request(
+                        request_id=s + j,
+                        input_ids=list(it["input_ids"]) + list(ans_ids),
+                        pixels=it["pixels"],
+                        image_token_id=model.processor.image_token_id,
+                        max_new_tokens=args.max_new_tokens,
+                    )
+                    for j, it in enumerate(items)
+                ]
+                for it, req in zip(items, eng.run(reqs)):
+                    toks = [t for t in req.output_ids
+                            if t not in model.processor.terminator_ids]
+                    record(f, it, model.processor.decode(toks).strip())
+        else:
+            for i in range(len(ds)):
+                item = ds[i]
+                text = model.generate(
+                    item["input_ids"], pixels=item["pixels"],
+                    answer_prompt=answer_prompt,
+                )
+                record(f, item, text)
     elapsed = time.perf_counter() - t_start
     with open(os.path.join(args.output_dir, "timing_summary.txt"), "a") as f:
         f.write(

@@ -93,37 +93,42 @@ def _ssd_kernel_v2(
     xf = x_ref[...].astype(jnp.float32)  # (GS, R, cs, P)
     xdt = xf * dt[..., None]
 
-    # head-batched decay tensor (GS, R, cs, cs)
+    # head-batched decay tensor (GS, R, cs, cs); Mosaic matmuls allow at
+    # most ONE batch dim, so (GS, R) merges into a single batch axis
     Lmat = jnp.exp(Acs[..., :, None] - Acs[..., None, :])
     M = jnp.where(keep2d[None, None], CB[:, None] * Lmat, 0.0)
-    # y_diag: batched matmul over (GS, R): (cs, cs) @ (cs, P)
     y_diag = jax.lax.dot_general(
-        M.astype(x_ref.dtype), xdt.astype(x_ref.dtype),
-        (((3,), (2,)), ((0, 1), (0, 1))),
+        M.reshape(GS * R, cs, cs).astype(x_ref.dtype),
+        xdt.reshape(GS * R, cs, P).astype(x_ref.dtype),
+        (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (GS, R, cs, P)
+    ).reshape(GS, R, cs, P)
 
-    # inbound contribution: (GS, cs, N) x (GS, R, P, N) -> (GS, R, cs, P)
+    # inbound contribution: (GS*R, cs, N) x (GS*R, P, N) -> (GS, R, cs, P)
     h_in = state[...]
+    Cb_heads = jnp.broadcast_to(
+        Cc[:, None], (GS, R, cs, N)).reshape(GS * R, cs, N)
     y_off = jax.lax.dot_general(
-        jnp.broadcast_to(Cc[:, None], (GS, R, cs, N)).astype(x_ref.dtype),
-        h_in.astype(x_ref.dtype),
-        (((3,), (3,)), ((0, 1), (0, 1))),
+        Cb_heads.astype(x_ref.dtype),
+        h_in.reshape(GS * R, P, N).astype(x_ref.dtype),
+        (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ).reshape(GS, R, cs, P)
     w_out = jnp.exp(Acs) * cont[None, None, :]  # (GS, R, cs)
     D_blk = D_ref[...]
     y = y_diag + y_off * w_out[..., None] + D_blk[..., None, None] * xf
     y_ref[...] = y.astype(y_ref.dtype)
 
-    # local chunk states: (GS, R, P, N)
+    # local chunk states: (GS, R, P, N), single merged batch dim
     w_st = jnp.exp(Acs[..., -1:] - Acs) * keep_last[None, None, :]
+    Bb_heads = jnp.broadcast_to(
+        Bc[:, None], (GS, R, cs, N)).reshape(GS * R, cs, N)
     st_local = jax.lax.dot_general(
-        (xdt * w_st[..., None]).astype(x_ref.dtype),
-        jnp.broadcast_to(Bc[:, None], (GS, R, cs, N)).astype(x_ref.dtype),
-        (((2,), (2,)), ((0, 1), (0, 1))),
+        (xdt * w_st[..., None]).reshape(GS * R, cs, P).astype(x_ref.dtype),
+        Bb_heads.astype(x_ref.dtype),
+        (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )
+    ).reshape(GS, R, P, N)
     # keepdim slice: scalar lane indexing doesn't lower on TPU
     chunk_decay = jnp.exp(Acs[..., cs - 1 : cs]) * no_boundary  # (GS, R, 1)
     state[...] = state[...] * chunk_decay[..., None] + st_local

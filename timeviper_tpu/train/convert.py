@@ -231,6 +231,55 @@ def convert_timm_vit(
     return params
 
 
+def convert_internvideo2(
+    sd: Mapping[str, np.ndarray], cfg, dtype=np.dtype("float32")
+) -> Dict[str, Any]:
+    """InternVideo2 PretrainVisionTransformer_clean state dict → pytree.
+
+    Torch names (vit_scale_clean.py:464-602): patch_embed.proj.weight
+    (D,3,t,ps,ps) conv3d, cls_token, pos_embed, blocks.{i}.{norm1,attn.qkv,
+    attn.q_norm,attn.k_norm,attn.proj,ls1.gamma,norm2,mlp.fc1,mlp.fc2,
+    ls2.gamma}.
+    """
+    sd = {re.sub(r"^(vision_tower\.|model\.)", "", k): v for k, v in sd.items()}
+    layers = []
+    for i in range(cfg.effective_depth):
+        pre = f"blocks.{i}"
+        layers.append({
+            "norm1": {"weight": sd[f"{pre}.norm1.weight"].astype(np.float32)},
+            "attn": {
+                "qkv": _lin(sd, f"{pre}.attn.qkv", dtype),
+                "q_norm": {"weight": sd[f"{pre}.attn.q_norm.weight"].astype(
+                    np.float32)},
+                "k_norm": {"weight": sd[f"{pre}.attn.k_norm.weight"].astype(
+                    np.float32)},
+                "proj": _lin(sd, f"{pre}.attn.proj", dtype),
+            },
+            "ls1": {"gamma": sd[f"{pre}.ls1.gamma"].astype(np.float32)},
+            "norm2": {"weight": sd[f"{pre}.norm2.weight"].astype(np.float32)},
+            "mlp": {
+                "fc1": _lin(sd, f"{pre}.mlp.fc1", dtype),
+                "fc2": _lin(sd, f"{pre}.mlp.fc2", dtype),
+            },
+            "ls2": {"gamma": sd[f"{pre}.ls2.gamma"].astype(np.float32)},
+        })
+    pe = sd["patch_embed.proj.weight"]  # (D, 3, t, ps, ps) conv3d
+    D_, _, t, ps, _ = pe.shape
+    # flatten to the matmul layout models/internvideo2.py uses:
+    # (t, ps, ps, 3) ordering per spatial-temporal unfold -> (t*ps*ps*3, D)
+    kernel = np.ascontiguousarray(
+        pe.transpose(2, 3, 4, 1, 0).reshape(t * ps * ps * 3, D_))
+    return {
+        "patch_embed": {
+            "kernel": kernel.astype(dtype),
+            "bias": sd["patch_embed.proj.bias"].astype(dtype),
+        },
+        "cls_token": sd["cls_token"].astype(np.float32),
+        "pos_embed": sd["pos_embed"].astype(np.float32),
+        "layers": layers,
+    }
+
+
 def convert_projector(
     sd: Mapping[str, np.ndarray], dtype=np.dtype("float32"), prefix: str = "projector"
 ) -> Dict[str, Any]:
@@ -244,10 +293,21 @@ def convert_projector(
     }
 
 
+def _convert_tower(sd_sub, family: str, cfg, dtype):
+    if family == "internvideo2":
+        return convert_internvideo2(sd_sub, cfg, dtype)
+    return convert_timm_vit(sd_sub, cfg, dtype)
+
+
 def convert_vlm_checkpoint(
     sd: Mapping[str, np.ndarray], arch, dtype=np.dtype("float32")
 ) -> Dict[str, Any]:
-    """Whole-VLM torch checkpoint (generic_vlm.py:874-910) → vlm params."""
+    """Whole-VLM torch checkpoint (generic_vlm.py:874-910) → vlm params.
+
+    Multi-encoder checkpoints keep per-tower weights under
+    `vision_backbone.backbones.<sanitized_id>.` (generic_vlm.py:180-186)
+    and per-tower projectors under `projector.projectors.<id>.`.
+    """
 
     def sub(prefix):
         plen = len(prefix)
@@ -255,9 +315,33 @@ def convert_vlm_checkpoint(
 
     llm_sd = sub("llm_backbone.llm.")
     conv_llm = convert_nano if arch.llm_family == "nano" else convert_qwen2
+
+    if getattr(arch, "vision_backbones", None):
+        vision, projector = {}, {}
+        for bid, fam, cfg in arch.vision_backbones:
+            key = bid.replace("-", "_").replace("+", "_")
+            tower_sd = sub(f"vision_backbone.backbones.{key}.featurizer.")
+            if not tower_sd:
+                tower_sd = sub(f"vision_backbone.backbones.{key}.")
+            vision[key] = _convert_tower(tower_sd, fam, cfg, dtype)
+            proj_sd = {
+                k: v for k, v in sd.items()
+                if k.startswith(f"projector.projectors.{key}.")
+            }
+            if proj_sd:
+                projector[key] = convert_projector(
+                    {k.replace(f".projectors.{key}", ""): v
+                     for k, v in proj_sd.items()}, dtype, prefix="projector")
+        return {
+            "vision_backbone": vision,
+            "projector": projector,
+            "llm_backbone": conv_llm(llm_sd, arch.llm, dtype),
+        }
+
     params = {
-        "vision_backbone": convert_timm_vit(
-            sub("vision_backbone.featurizer."), arch.vision, dtype),
+        "vision_backbone": _convert_tower(
+            sub("vision_backbone.featurizer."),
+            getattr(arch, "vision_family", "siglip"), arch.vision, dtype),
         "projector": convert_projector(sd, dtype, prefix="projector"),
         "llm_backbone": conv_llm(llm_sd, arch.llm, dtype),
     }
