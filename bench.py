@@ -39,7 +39,7 @@ def main():
     from timeviper_tpu.config import NanoConfig
     from timeviper_tpu.models.nano import init_nano_params, nano_forward
 
-    L = int(os.environ.get("BENCH_SEQ_LEN", 8192))
+    L = int(os.environ.get("BENCH_SEQ_LEN", 16384))
     n_layers = int(os.environ.get("BENCH_LAYERS", 26))
     full_layers = int(os.environ.get("BENCH_EXTRAPOLATE_LAYERS", 52))
     steps = int(os.environ.get("BENCH_STEPS", 3))

@@ -308,20 +308,24 @@ def attention_mixer_forward(
     fill_cache: bool = False,
     max_len: int = 0,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
-    """Prefill/training attention; optionally writes the KV cache."""
+    """Prefill/training attention; optionally writes the KV cache.
+
+    With no precomputed dense mask, the O(L)-memory Pallas flash kernel
+    handles the causal(+packed) case — required for 16k+ prefill where a
+    dense (L, L) logits tensor would not fit HBM.
+    """
     B, L, _ = x.shape
     Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     q = _apply_linear(p["q_proj"], x).reshape(B, L, Hq, hd)
     k = _apply_linear(p["k_proj"], x).reshape(B, L, Hkv, hd)
     v = _apply_linear(p["v_proj"], x).reshape(B, L, Hkv, hd)
 
-    mask = attn_mask
-    if mask is None:
-        mask = make_attention_mask(
-            L, L, causal=True,
-            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
-        )
-    out = attention(q, k, v, mask)
+    if attn_mask is None:
+        from timeviper_tpu.ops.flash_pallas import flash_attention
+
+        out = flash_attention(q, k, v, segment_ids=segment_ids, causal=True)
+    else:
+        out = attention(q, k, v, attn_mask)
     out = _apply_linear(p["o_proj"], out.reshape(B, L, Hq * hd))
 
     new_cache = None
@@ -393,8 +397,8 @@ def _block_forward(
         )
     elif block_type == "attention":
         out, new_cache = attention_mixer_forward(
-            layer_params["mixer"], cfg, normed, attn_mask=attn_mask,
-            fill_cache=fill_cache, max_len=max_len,
+            layer_params["mixer"], cfg, normed, segment_ids=seq_idx,
+            attn_mask=attn_mask, fill_cache=fill_cache, max_len=max_len,
         )
     else:
         out = mlp_mixer_forward(layer_params["mixer"], cfg, normed)
@@ -429,13 +433,10 @@ def nano_forward(
     hidden = inputs_embeds
     B, L, _ = hidden.shape
 
+    # seq_idx flows through as segment ids (flash kernel handles packing
+    # with O(L) memory); only an explicit 2D padding mask goes dense
     attn_mask = None
-    if seq_idx is not None:
-        attn_mask = make_attention_mask(
-            L, L, causal=True, q_segment_ids=seq_idx, kv_segment_ids=seq_idx,
-        )
-    elif attention_mask is not None:
-        # 2D padding mask -> causal+padding
+    if attention_mask is not None:
         attn_mask = make_attention_mask(L, L, causal=True,
                                         kv_valid=attention_mask.astype(bool))
 
@@ -456,12 +457,6 @@ def nano_forward(
                 merge_params=pdrop_params,
             )
             L = hidden.shape[1]
-            attn_mask = None
-            if seq_idx is not None:
-                attn_mask = make_attention_mask(
-                    L, L, causal=True,
-                    q_segment_ids=seq_idx, kv_segment_ids=seq_idx,
-                )
         layer_params = params["layers"][idx]
 
         def fwd(lp, h, s_idx, a_mask, _bt=block_type):

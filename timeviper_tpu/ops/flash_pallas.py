@@ -1,0 +1,91 @@
+"""Flash attention for long-sequence prefill on TPU.
+
+Replaces flash-attn 2 in the reference (modeling_nano.py:84-86, 1119-1210;
+SURVEY.md §2.2 N5). Wraps JAX's bundled Pallas TPU flash kernel
+(jax.experimental.pallas.ops.tpu.flash_attention) behind the same call
+shape as ops/attention.py, with:
+
+* GQA by repeating KV heads into the kernel's MHA layout,
+* packed sequences via the kernel's SegmentIds (replacing flash-attn's
+  varlen cu_seqlens),
+* dispatch: the fused kernel needs seq_len % block == 0 and pays off past
+  ~1k tokens; anything else falls back to the jnp path (the oracle).
+
+The O(L) memory scaling is what makes 10k-frame (160k-token) prefill
+possible at all — the jnp path materializes O(L²) logits (34 GB at 16k).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from timeviper_tpu.ops.attention import attention, make_attention_mask
+
+_BLOCK = 512
+
+
+def _kernel_ok(q_len: int, kv_len: int, head_dim: int) -> bool:
+    return (
+        q_len == kv_len
+        and q_len >= 2 * _BLOCK
+        and q_len % _BLOCK == 0
+        and head_dim % 128 == 0
+    )
+
+
+def flash_attention(
+    q: jax.Array,  # (B, Lq, Hq, D)
+    k: jax.Array,  # (B, Lk, Hkv, D)
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,  # (B, L) int32
+    causal: bool = True,
+) -> jax.Array:
+    """Causal (optionally packed) attention; O(L) memory on TPU."""
+    B, Lq, Hq, D = q.shape
+    Lk, Hkv = k.shape[1], k.shape[2]
+
+    use_kernel = (
+        jax.default_backend() in ("tpu", "axon")
+        and _kernel_ok(Lq, Lk, D)
+    )
+    if not use_kernel:
+        mask = make_attention_mask(
+            Lq, Lk, causal=causal,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+        )
+        return attention(q, k, v, mask)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+    )
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention as _fa,
+    )
+
+    rep = Hq // Hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    # kernel layout: (B, H, L, D)
+    qk = jnp.transpose(q, (0, 2, 1, 3))
+    kk = jnp.transpose(k, (0, 2, 1, 3))
+    vk = jnp.transpose(v, (0, 2, 1, 3))
+    seg = None
+    if segment_ids is not None:
+        seg = SegmentIds(q=segment_ids, kv=segment_ids)
+    blk = min(_BLOCK, Lq)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = _fa(
+        qk, kk, vk, causal=causal, segment_ids=seg,
+        sm_scale=1.0 / (D ** 0.5), block_sizes=sizes,
+    )
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)

@@ -357,9 +357,11 @@ def ssd_pallas(
     return y
 
 
-def ssd_auto(*args, **kwargs):
-    """Dispatch: Pallas kernel on TPU, jnp chunked scan elsewhere."""
+def ssd_auto(x, dt, A, B_, C, chunk_size=256, **kwargs):
+    """Dispatch: Pallas kernel on TPU (when shapes satisfy the Mosaic tile
+    constraints — chunk_size % 128 == 0 so the (R, cs) dt block tiles),
+    jnp chunked scan elsewhere."""
     platform = jax.default_backend()
-    if platform == "tpu" or platform == "axon":
-        return ssd_pallas(*args, **kwargs)
-    return ssd_chunked(*args, **kwargs)
+    if platform in ("tpu", "axon") and chunk_size % 128 == 0:
+        return ssd_pallas(x, dt, A, B_, C, chunk_size=chunk_size, **kwargs)
+    return ssd_chunked(x, dt, A, B_, C, chunk_size=chunk_size, **kwargs)
