@@ -81,6 +81,47 @@ class VideoMeta:
     duration: float
 
 
+def load_subtitle(
+    srt_path: str,
+    timestamps: Optional[Sequence[float]] = None,
+    max_chars: int = 0,
+) -> str:
+    """Parse an .srt subtitle file into one text block, optionally keeping
+    only cues overlapping the sampled-frame timestamps (reference
+    eval/utils/vision_process.py:52-83 subtitle loading for cgbench)."""
+    import re
+
+    def to_sec(t: str) -> float:
+        h, m, rest = t.split(":")
+        s, ms = rest.split(",")
+        return int(h) * 3600 + int(m) * 60 + int(s) + int(ms) / 1000.0
+
+    cues = []
+    with open(srt_path, encoding="utf-8", errors="ignore") as f:
+        blocks = re.split(r"\n\s*\n", f.read())
+    for block in blocks:
+        lines = [ln.strip() for ln in block.strip().splitlines() if ln.strip()]
+        if len(lines) < 2 or "-->" not in lines[1 if lines[0].isdigit() else 0]:
+            continue
+        ts_line = lines[1] if lines[0].isdigit() else lines[0]
+        text_lines = lines[2:] if lines[0].isdigit() else lines[1:]
+        try:
+            start_s, end_s = [to_sec(t.strip()) for t in ts_line.split("-->")]
+        except Exception:
+            continue
+        cues.append((start_s, end_s, " ".join(text_lines)))
+    if timestamps is not None:
+        ts = list(timestamps)
+        cues = [
+            (s, e, txt) for s, e, txt in cues
+            if any(s <= t <= e for t in ts)
+        ]
+    text = " ".join(txt for _, _, txt in cues)
+    if max_chars and len(text) > max_chars:
+        text = text[:max_chars]
+    return text
+
+
 def probe_backend() -> Optional[str]:
     for name, mod in (("decord", "decord"), ("pyav", "av"), ("opencv", "cv2")):
         try:

@@ -18,6 +18,15 @@ Replaces the reference's Triton `mamba_chunk_scan_combined`
   segment starts — in prefill too (the reference's prefill dropped seq_idx,
   modeling_nano.py:648).
 
+PERF NOTE (round-1 finding): the host-side (B,L,H,P)->(B,H,L,P) layout
+transposes around this kernel cost ~32 ms at the 9B scale / L=8192 — as
+much as the kernel itself. A native-layout variant (5D blocked views +
+static per-head sublane loads) is algorithmically verified in interpret
+mode but crashes this image's remote Mosaic compile helper; retry on a
+standard libtpu toolchain. Inside the full model XLA fuses part of the
+transpose into the producing projections, so the model-level cost is
+smaller than the op-level benchmark suggests.
+
 Backward: `ssd` is a custom_vjp whose forward runs this kernel and whose
 backward rematerializes through the pure-jnp `ssd_chunked` (ops/ssd.py) under
 XLA AD — numerically identical algorithm, so gradients are consistent.

@@ -32,6 +32,9 @@ def get_args(argv=None):
     p.add_argument("--conv_template", default="nano_base")
     p.add_argument("--pretrained_checkpoint", default=None,
                    help="torch/orbax VLM checkpoint to start from")
+    p.add_argument("--projector_checkpoint", default=None,
+                   help="projector-only warm start (stage chaining; "
+                        "reference train.py:339-345, generic_vlm.py:688-725)")
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--use_pdrop", action="store_true")
     p.add_argument("--pdrop_type", default=None,
@@ -130,6 +133,28 @@ def main(argv=None):
             ),
             arch.llm_family,
         )
+
+    if args.projector_checkpoint:
+        # stage-chained projector warm start: accepts an orbax params dir or
+        # a torch .bin with "projector.*" keys
+        pc = args.projector_checkpoint
+        if os.path.isdir(pc):
+            from timeviper_tpu.train.checkpoint import restore_params
+
+            restored = restore_params(pc)
+            params["projector"] = (
+                restored.get("projector", restored)
+            )
+        else:
+            from timeviper_tpu.train.convert import (
+                convert_projector,
+                load_torch_state_dict,
+            )
+
+            sd = load_torch_state_dict(pc)
+            params["projector"] = jax.tree_util.tree_map(
+                jnp.asarray, convert_projector(sd))
+        overwatch.info(f"projector warm-started from {pc}")
 
     datasets = load_data_from_config(
         args.data_config, processor, template_name=args.conv_template
