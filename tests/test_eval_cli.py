@@ -1,0 +1,119 @@
+"""End-to-end eval CLI: tiny checkpoint -> generate -> jsonl -> scores."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _make_tokenizer(tmp_path):
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    words = (
+        "<pad> <unk> <SPECIAL_10> <SPECIAL_11> <SPECIAL_12> System User "
+        "Assistant ( ) A B C D . what color is the sky blue red Best "
+        "Option : Please provide your answer by stating letter followed "
+        "full option"
+    ).split()
+    vocab = {w: i for i, w in enumerate(words)}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    t = PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<pad>", unk_token="<unk>",
+        eos_token="<SPECIAL_12>",
+    )
+    t.save_pretrained(str(tmp_path))
+    return t
+
+
+def _make_checkpoint(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import VLMConfig
+    from timeviper_tpu.models.api import build_arch
+    from timeviper_tpu.models.vlm import init_vlm_params
+    from timeviper_tpu.train.checkpoint import save_params
+
+    cfg = {
+        "model_id": "timeviper-debug",
+        "vision_backbone_id": "debug-vit-tiny",
+        "llm_backbone_id": "debug-nano-tiny",
+        "arch_specifier": "tome_mlp-2",
+        "conv_template": "nano_base",
+    }
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(cfg, f)
+    arch = build_arch(VLMConfig(
+        vision_backbone_id=cfg["vision_backbone_id"],
+        llm_backbone_id=cfg["llm_backbone_id"],
+        arch_specifier=cfg["arch_specifier"],
+    ))
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    save_params(str(tmp_path / "orbax"), params)
+    _make_tokenizer(tmp_path)
+    return arch
+
+
+FAKE_RECORDS = [
+    {
+        "video": f"/nonexistent/v{i}.mp4",
+        "question": "what color is the sky .",
+        "options": ["A . blue", "B . red"],
+        "answer": 0,
+        "duration": 10.0,
+        "task_type": "color",
+        "qid": f"fake|{i}",
+    }
+    for i in range(3)
+]
+
+
+def _fake_load_video(path, **kw):
+    from timeviper_tpu.data.video import VideoMeta
+
+    rng = np.random.default_rng(hash(path) % 2**31)
+    frames = rng.integers(0, 255, (4, 28, 28, 3), dtype=np.uint8)
+    return frames, np.arange(4) / 1.0, VideoMeta(4, 1.0, 4.0)
+
+
+@pytest.mark.parametrize("serving", [False, True])
+def test_eval_cli_end_to_end(tmp_path, monkeypatch, serving):
+    import timeviper_tpu.data.video as video_mod
+    import timeviper_tpu.eval.evaluate as ev
+
+    _make_checkpoint(tmp_path)
+    monkeypatch.setattr(ev, "load_benchmark",
+                        lambda name, root, split: list(FAKE_RECORDS))
+    monkeypatch.setattr(video_mod, "load_video", _fake_load_video)
+
+    out_dir = str(tmp_path / ("out_serving" if serving else "out"))
+    argv = [
+        "--checkpoint", str(tmp_path),
+        "--dataset_name", "mvbench",
+        "--output_dir", out_dir,
+        "--max_new_tokens", "4",
+        "--min_frames", "4", "--max_frames", "4",
+    ]
+    if serving:
+        argv += ["--use_serving_engine", "--serving_slots", "2"]
+    ev.main(argv)
+
+    shard = os.path.join(out_dir, "0_of_1.jsonl")
+    with open(shard) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 3
+    assert all("pred" in r and "output_text" in r for r in recs)
+
+    # resume: re-running adds nothing
+    ev.main(argv)
+    with open(shard) as f:
+        assert len(f.readlines()) == 3
+
+    # scoring
+    result = ev.main(["--score_only", "--dataset_name", "mvbench",
+                      "--output_dir", out_dir])
+    assert "avg" in result and result["total"] == 3
+    assert os.path.exists(os.path.join(out_dir, "scores.json"))

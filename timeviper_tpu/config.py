@@ -327,6 +327,15 @@ VISION_MODEL_REGISTRY: Dict[str, Dict[str, Any]] = {
         "family": "multi",
         "backbones": ["dinov2-vit-l", "siglip-vit-so400m-384px"],
     },
+    # tiny debug tower: CI/integration tests and smoke runs
+    "debug-vit-tiny": {
+        "family": "siglip",
+        "config": ViTConfig(
+            image_size=28, patch_size=14, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2,
+        ),
+    },
 }
 
 
@@ -369,7 +378,11 @@ LLM_MODEL_REGISTRY: Dict[str, Dict[str, Any]] = {
         hidden_size=1536, intermediate_size=8960, num_hidden_layers=28,
         num_attention_heads=12, num_key_value_heads=2, tie_word_embeddings=True,
     )},
+    # tiny debug backbone: CI/integration tests and smoke runs
+    "debug-nano-tiny": {"family": "nano", "config": None},  # filled below
 }
+LLM_MODEL_REGISTRY["debug-nano-tiny"]["config"] = tiny_nano_config(
+    vocab_size=128)
 
 
 def get_llm_backbone_config(llm_backbone_id: str) -> Dict[str, Any]:
