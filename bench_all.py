@@ -1,0 +1,182 @@
+"""Comprehensive benchmark suite (one JSON object per line).
+
+`bench.py` prints the single headline line the driver records; this script
+characterizes the whole system on the attached chip:
+
+* hybrid-backbone prefill tokens/sec at several context lengths,
+* single-request decode tokens/sec (jitted while-loop),
+* serving-engine batched decode throughput,
+* SSD kernel op-level time (Pallas vs XLA),
+* vision tower + ToMe projector frames/sec.
+
+Run: python bench_all.py [--out bench_results.jsonl]
+Timing note: block_until_ready is unreliable through this image's RPC
+tunnel; every measurement syncs by fetching a scalar (see bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _sync(arr) -> float:
+    return float(np.asarray(arr.reshape(-1)[0], np.float32))
+
+
+def _timeit(fn, steps=3):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        fn()
+    return (time.perf_counter() - t0) / steps
+
+
+def bench_prefill(results):
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.models.nano import init_nano_params, nano_forward
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    for n_layers, L in ((26, 8192), (26, 16384), (26, 32768), (13, 81920)):
+        cfg = NanoConfig(
+            num_hidden_layers=n_layers,
+            hybrid_override_pattern=(full * 2)[:n_layers],
+            vocab_size=2048,
+        )
+        try:
+            params = jax.jit(
+                lambda k: init_nano_params(k, cfg, dtype=jnp.bfloat16)
+            )(jax.random.PRNGKey(0))
+            emb = jax.random.normal(
+                jax.random.PRNGKey(1), (1, L, cfg.hidden_size), jnp.bfloat16)
+            fwd = jax.jit(lambda p, e: nano_forward(
+                p, cfg, inputs_embeds=e, logits_to_keep=1)["logits"])
+            dt = _timeit(lambda: _sync(fwd(params, emb)))
+            results.append({
+                "metric": f"prefill_{n_layers}L_{L}tok",
+                "value": round(L / dt, 1), "unit": "tokens/sec",
+                "extrap_52L_tokens_per_sec": round(L / dt * n_layers / 52, 1),
+            })
+            del params, emb, fwd
+        except Exception as e:
+            results.append({
+                "metric": f"prefill_{n_layers}L_{L}tok",
+                "error": f"{type(e).__name__}: {str(e)[:80]}"})
+
+
+def bench_decode(results):
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.models.cache import init_nano_cache
+    from timeviper_tpu.models.nano import init_nano_params, nano_decode_step
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    cfg = NanoConfig(num_hidden_layers=26, hybrid_override_pattern=full[:26],
+                     vocab_size=2048)
+    params = jax.jit(
+        lambda k: init_nano_params(k, cfg, dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    for B in (1, 8):
+        cache = init_nano_cache(cfg, B, 4096, jnp.bfloat16)
+
+        @jax.jit
+        def steps10(params, tok, cache):
+            def body(i, carry):
+                tok, cache = carry
+                logits, cache = nano_decode_step(params, cfg, tok, cache)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                return (nxt, cache)
+            tok, cache = jax.lax.fori_loop(0, 10, body, (tok, cache))
+            return tok, cache
+
+        tok = jnp.zeros((B, 1), jnp.int32)
+        dt = _timeit(lambda: _sync(steps10(params, tok, cache)[0]))
+        results.append({
+            "metric": f"decode_26L_batch{B}",
+            "value": round(10 * B / dt, 1), "unit": "tokens/sec",
+            "extrap_52L_tokens_per_sec": round(10 * B / dt / 2, 1),
+        })
+
+
+def bench_ssd_op(results):
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.ops.ssd import ssd_chunked
+    from timeviper_tpu.ops.ssd_pallas import ssd_pallas
+
+    B, L, H, P, G, N = 1, 8192, 128, 64, 8, 128
+    k = jax.random.split(jax.random.PRNGKey(0), 5)
+    x = jax.random.normal(k[0], (B, L, H, P), jnp.bfloat16)
+    dt_in = jax.random.normal(k[1], (B, L, H), jnp.bfloat16) * 0.5
+    A = -jnp.exp(jax.random.normal(k[2], (H,)))
+    Bm = jax.random.normal(k[3], (B, L, G, N), jnp.bfloat16)
+    Cm = jax.random.normal(k[4], (B, L, G, N), jnp.bfloat16)
+    for name, fn in (("xla", ssd_chunked), ("pallas", ssd_pallas)):
+        f = jax.jit(lambda *a, _f=fn: _f(*a, chunk_size=256)[0])
+        dt = _timeit(lambda: _sync(f(x, dt_in, A, Bm, Cm)), steps=5)
+        results.append({
+            "metric": f"ssd_op_9bscale_8192tok_{name}",
+            "value": round(dt * 1000, 2), "unit": "ms",
+        })
+
+
+def bench_vision(results):
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import SIGLIP_SO400M_384, VLMConfig
+    from timeviper_tpu.models.vit import init_vit_params, vit_forward
+    from timeviper_tpu.ops.tome import tome_merge
+
+    cfg = SIGLIP_SO400M_384
+    params = jax.jit(
+        lambda k: init_vit_params(k, cfg, jnp.bfloat16)
+    )(jax.random.PRNGKey(0))
+    F = 32
+    pixels = jax.random.normal(
+        jax.random.PRNGKey(1), (F, 384, 384, 3), jnp.bfloat16)
+
+    @jax.jit
+    def enc(p, px):
+        feats = vit_forward(p, cfg, px)
+        return tome_merge(feats, 16)
+
+    dt = _timeit(lambda: _sync(enc(params, pixels)))
+    results.append({
+        "metric": "siglip_so400m_384_encode_tome16",
+        "value": round(F / dt, 1), "unit": "frames/sec",
+    })
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    results = []
+    for fn in (bench_prefill, bench_decode, bench_ssd_op, bench_vision):
+        try:
+            fn(results)
+        except Exception as e:  # noqa: BLE001
+            results.append({"metric": fn.__name__,
+                            "error": f"{type(e).__name__}: {str(e)[:120]}"})
+        for r in results[len(results) - 1:]:
+            pass
+    for r in results:
+        print(json.dumps(r))
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -146,6 +146,32 @@ def vit_forward(
     act = _act(cfg.hidden_act)
     nh = cfg.num_attention_heads
     hd = cfg.hidden_size // nh
+
+    # Non-causal attention: dense logits at (B, H, T, T) f32 are HBM-bound
+    # (2+ GB/layer at 384px); pad T to a 256 multiple and use the flash
+    # kernel with pad tokens masked into their own segment.
+    def _vit_attention(q, k, v):
+        T = q.shape[1]
+        Tp = -(-T // 256) * 256
+        if jax.default_backend() not in ("tpu", "axon") or Tp < 512:
+            return attention(q, k, v)
+        from timeviper_tpu.ops.flash_pallas import flash_attention
+
+        # zero-pad head_dim to 128 (SigLIP hd=72): zero q/k dims leave the
+        # logits unchanged, zero v dims are sliced off the output
+        hp = -(-hd // 128) * 128
+        pad_t, pad_d = Tp - T, hp - hd
+        scale = 1.0 / (hd ** 0.5)  # scale by the TRUE head_dim
+        qp = jnp.pad(q * scale, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+        kp = jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+        vp = jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+        seg = jnp.concatenate(
+            [jnp.zeros((T,), jnp.int32), jnp.ones((pad_t,), jnp.int32)]
+        )[None].repeat(q.shape[0], axis=0)
+        out = flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
+                              scale=1.0)
+        return out[:, :T, :, :hd]
+
     # penultimate-layer features: run blocks [0, L-2), i.e. skip the last block
     for layer in params["layers"][: cfg.num_hidden_layers - 1]:
         res = x
@@ -153,7 +179,7 @@ def vit_forward(
         qkv = _apply_linear(layer["attn"]["qkv"], n)
         T = qkv.shape[1]
         q, k, v = jnp.split(qkv.reshape(B, T, 3, nh, hd), 3, axis=2)
-        out = attention(q[:, :, 0], k[:, :, 0], v[:, :, 0])
+        out = _vit_attention(q[:, :, 0], k[:, :, 0], v[:, :, 0])
         out = _apply_linear(layer["attn"]["proj"], out.reshape(B, T, cfg.hidden_size))
         if "ls1" in layer:
             out = out * layer["ls1"]["gamma"].astype(out.dtype)

@@ -30,8 +30,8 @@ _BLOCK = 512
 def _kernel_ok(q_len: int, kv_len: int, head_dim: int) -> bool:
     return (
         q_len == kv_len
-        and q_len >= 2 * _BLOCK
-        and q_len % _BLOCK == 0
+        and q_len >= 512
+        and q_len % 256 == 0
         and head_dim % 128 == 0
     )
 
@@ -42,6 +42,7 @@ def flash_attention(
     v: jax.Array,
     segment_ids: Optional[jax.Array] = None,  # (B, L) int32
     causal: bool = True,
+    scale: Optional[float] = None,
 ) -> jax.Array:
     """Causal (optionally packed) attention; O(L) memory on TPU."""
     B, Lq, Hq, D = q.shape
@@ -56,7 +57,7 @@ def flash_attention(
             Lq, Lk, causal=causal,
             q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
         )
-        return attention(q, k, v, mask)
+        return attention(q, k, v, mask, scale=scale)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -77,7 +78,7 @@ def flash_attention(
     seg = None
     if segment_ids is not None:
         seg = SegmentIds(q=segment_ids, kv=segment_ids)
-    blk = min(_BLOCK, Lq)
+    blk = _BLOCK if Lq % _BLOCK == 0 else 256
     sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk,
@@ -86,6 +87,7 @@ def flash_attention(
     )
     out = _fa(
         qk, kk, vk, causal=causal, segment_ids=seg,
-        sm_scale=1.0 / (D ** 0.5), block_sizes=sizes,
+        sm_scale=scale if scale is not None else 1.0 / (D ** 0.5),
+        block_sizes=sizes,
     )
     return jnp.transpose(out, (0, 2, 1, 3)).astype(q.dtype)

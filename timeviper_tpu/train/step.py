@@ -87,12 +87,17 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        gnorm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
-            "grad_norm": gnorm,
+            "grad_norm": optax.global_norm(grads),
             "n_tokens": aux["n_tokens"].sum(),
         }
+        # per-module side-channel (HfMultiTaskTrainer report_metrics analog,
+        # reference trainer.py:277-298): grad norm per top-level module
+        for mod in ("vision_backbone", "projector", "llm_backbone",
+                    "merge_modules"):
+            if isinstance(grads, dict) and mod in grads:
+                metrics[f"grad_norm/{mod}"] = optax.global_norm(grads[mod])
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
