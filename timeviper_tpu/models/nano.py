@@ -170,8 +170,12 @@ def init_nano_params(key, cfg: NanoConfig, dtype=jnp.bfloat16) -> Dict[str, Any]
 
 
 def _apply_linear(p, x, precision=None):
-    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
-                   precision=precision)
+    if "kernel_q" in p:  # int8 weight-only quantization (train/quantize.py)
+        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w, precision=precision)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
+                       precision=precision)
     if p.get("bias") is not None:
         y = y + p["bias"].astype(y.dtype)
     if "lora_a" in p:  # LoRA delta (train/lora.py)
@@ -491,11 +495,13 @@ def nano_forward(
 
 def compute_logits(params, hidden):
     """lm_head in float32 (modeling_nano.py:2428-2433)."""
-    kernel = (
-        params["lm_head"]["kernel"]
-        if "lm_head" in params
-        else params["embeddings"].T
-    )
+    lm = params.get("lm_head")
+    if lm is not None and "kernel_q" in lm:
+        kernel = lm["kernel_q"].astype(jnp.float32) * lm["kernel_scale"]
+    elif lm is not None:
+        kernel = lm["kernel"]
+    else:
+        kernel = params["embeddings"].T
     return jnp.einsum(
         "...d,dv->...v", hidden.astype(jnp.float32),
         kernel.astype(jnp.float32),

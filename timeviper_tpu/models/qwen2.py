@@ -29,7 +29,11 @@ def _linear(key, d_in, d_out, dtype, std=0.02, bias=False):
 
 
 def _apply_linear(p, x):
-    y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
+    if "kernel_q" in p:  # int8 weight-only quantization (train/quantize.py)
+        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
     if p.get("bias") is not None:
         y = y + p["bias"].astype(y.dtype)
     if "lora_a" in p:  # LoRA delta (train/lora.py)
@@ -212,10 +216,13 @@ def qwen2_forward(
 
 
 def compute_logits(params, hidden):
-    kernel = (
-        params["lm_head"]["kernel"] if "lm_head" in params
-        else params["embeddings"].T
-    )
+    lm = params.get("lm_head")
+    if lm is not None and "kernel_q" in lm:
+        kernel = lm["kernel_q"].astype(jnp.float32) * lm["kernel_scale"]
+    elif lm is not None:
+        kernel = lm["kernel"]
+    else:
+        kernel = params["embeddings"].T
     return jnp.einsum("...d,dv->...v", hidden.astype(jnp.float32),
                       kernel.astype(jnp.float32),
                       preferred_element_type=jnp.float32)
