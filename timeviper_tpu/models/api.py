@@ -114,8 +114,14 @@ def load_pretrained_vlm(
     use_pdrop: bool = False,
     dtype=jnp.bfloat16,
     sampling: SamplingParams = SamplingParams(),
+    quantize_int8: bool = False,
 ) -> TimeViperModel:
-    """Load a VLM checkpoint dir (see module docstring for layout)."""
+    """Load a VLM checkpoint dir (see module docstring for layout).
+
+    `quantize_int8=True` applies weight-only int8 to the LLM backbone
+    (train/quantize.py) — halves weight HBM so the 9B fits one 16 GB chip
+    and roughly doubles bandwidth-bound decode.
+    """
     with open(os.path.join(checkpoint, "config.json")) as f:
         meta = json.load(f)
     vlm_cfg = VLMConfig(
@@ -152,6 +158,14 @@ def load_pretrained_vlm(
         params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype) if getattr(x, "ndim", 0) >= 2
             else jnp.asarray(x), params)
+
+    if quantize_int8:
+        import jax as _jax
+
+        from timeviper_tpu.train.quantize import quantize_params_int8
+
+        params["llm_backbone"] = _jax.jit(quantize_params_int8)(
+            params["llm_backbone"])
 
     # tokenizer + processor
     from transformers import AutoTokenizer
