@@ -42,8 +42,11 @@ def bench_prefill(results):
     from timeviper_tpu.config import NanoConfig
     from timeviper_tpu.models.nano import init_nano_params, nano_forward
 
+    from timeviper_tpu.train.quantize import quantize_params_int8
+
     full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
-    for n_layers, L in ((26, 8192), (26, 16384), (26, 32768), (13, 81920)):
+    for n_layers, L, q in ((52, 16384, True), (52, 32768, True),
+                           (26, 16384, False), (13, 81920, False)):
         cfg = NanoConfig(
             num_hidden_layers=n_layers,
             hybrid_override_pattern=(full * 2)[:n_layers],
@@ -51,7 +54,8 @@ def bench_prefill(results):
         )
         try:
             params = jax.jit(
-                lambda k: init_nano_params(k, cfg, dtype=jnp.bfloat16)
+                lambda k: (quantize_params_int8 if q else (lambda p: p))(
+                    init_nano_params(k, cfg, dtype=jnp.bfloat16))
             )(jax.random.PRNGKey(0))
             emb = jax.random.normal(
                 jax.random.PRNGKey(1), (1, L, cfg.hidden_size), jnp.bfloat16)
@@ -59,7 +63,7 @@ def bench_prefill(results):
                 p, cfg, inputs_embeds=e, logits_to_keep=1)["logits"])
             dt = _timeit(lambda: _sync(fwd(params, emb)))
             results.append({
-                "metric": f"prefill_{n_layers}L_{L}tok",
+                "metric": f"prefill_{n_layers}L{'_int8' if q else ''}_{L}tok",
                 "value": round(L / dt, 1), "unit": "tokens/sec",
                 "extrap_52L_tokens_per_sec": round(L / dt * n_layers / 52, 1),
             })
@@ -79,10 +83,12 @@ def bench_decode(results):
     from timeviper_tpu.models.nano import init_nano_params, nano_decode_step
 
     full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
-    cfg = NanoConfig(num_hidden_layers=26, hybrid_override_pattern=full[:26],
-                     vocab_size=2048)
+    from timeviper_tpu.train.quantize import quantize_params_int8
+
+    cfg = NanoConfig(vocab_size=2048)  # FULL 52L, int8 weights
     params = jax.jit(
-        lambda k: init_nano_params(k, cfg, dtype=jnp.bfloat16)
+        lambda k: quantize_params_int8(
+            init_nano_params(k, cfg, dtype=jnp.bfloat16))
     )(jax.random.PRNGKey(0))
     for B in (1, 8):
         cache = init_nano_cache(cfg, B, 4096, jnp.bfloat16)
@@ -100,9 +106,8 @@ def bench_decode(results):
         tok = jnp.zeros((B, 1), jnp.int32)
         dt = _timeit(lambda: _sync(steps10(params, tok, cache)[0]))
         results.append({
-            "metric": f"decode_26L_batch{B}",
+            "metric": f"decode_52L_int8_batch{B}",
             "value": round(10 * B / dt, 1), "unit": "tokens/sec",
-            "extrap_52L_tokens_per_sec": round(10 * B / dt / 2, 1),
         })
 
 

@@ -77,6 +77,32 @@ def collate(
     return CollatedBatch(batch=batch, plan=plan)
 
 
+def prefetch_to_device(iterator, sharding, size: int = 2):
+    """Double-buffer CollatedBatches onto the device(s): the next batch's
+    host->device copy overlaps the current step's compute (SURVEY.md §2.2
+    N8 'double-buffered jax.device_put'). Yields (device_batch, plan)."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    queue = collections.deque()
+
+    def put(cb):
+        dev = {
+            k: jax.device_put(jnp.asarray(v), sharding)
+            for k, v in cb.batch.items()
+        }
+        return dev, cb.plan
+
+    for cb in iterator:
+        queue.append(put(cb))  # device_put is async; copy starts now
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 class DataLoader:
     """Minimal multithreaded loader: prefetches `prefetch` collated batches
     on background threads (video decode is the bottleneck; threads suffice

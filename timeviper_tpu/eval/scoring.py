@@ -53,6 +53,15 @@ def read_prediction_shards(data_dir: str) -> List[dict]:
 
 def load_scored_data(data_dir: str, dataset_name: str) -> Dict[str, Any]:
     """Score every prediction record (eval_all.py:95-149)."""
+    if dataset_name == "auroracap":
+        from timeviper_tpu.eval.judges import score_auroracap
+
+        return score_auroracap(data_dir)
+    if dataset_name == "youcook2":
+        from timeviper_tpu.eval.dvc import evaluate_youcook2_dvc
+
+        return {"__aggregate__": evaluate_youcook2_dvc(
+            read_prediction_shards(data_dir))}
     preds = read_prediction_shards(data_dir)
     datatype = get_dataset_type(dataset_name)
     out: Dict[str, Any] = {}
@@ -88,6 +97,21 @@ def calc_score(scored: Dict[str, Any], dataset_name: str) -> Dict[str, Any]:
     data = list(scored.values())
     if not data:
         return {}
+    if "__aggregate__" in scored:  # youcook2: already corpus-level
+        return scored["__aggregate__"]
+    if dataset_name == "auroracap":
+        scores = defaultdict(lambda: {"total": 0, "score": 0.0, "acc": 0.0})
+        for itm in data:
+            for key in ("total", itm.get("task_type")):
+                scores[key]["score"] += itm["score"]
+                scores[key]["acc"] += itm["acc"]
+                scores[key]["total"] += 1
+        return {
+            k: {"score": round(v["score"] / v["total"], 2),
+                "acc": round(v["acc"] / v["total"] * 100, 2),
+                "total": v["total"]}
+            for k, v in scores.items()
+        }
     if dataset_name in TVG_DATASETS:
         vals = [float(v) for v in data]
         scores: Dict[str, Any] = {"mIoU": float(np.mean(vals)) * 100}

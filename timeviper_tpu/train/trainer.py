@@ -107,7 +107,10 @@ class Trainer:
             k: jax.device_put(jnp.asarray(v), self.batch_sharding)
             for k, v in cb.batch.items()
         }
-        step_fn = self._get_step(cb.plan)
+        return self._device_step(batch, cb.plan)
+
+    def _device_step(self, batch, plan) -> Dict[str, float]:
+        step_fn = self._get_step(plan)
         with self.mesh:
             self.state, metrics = step_fn(self.state, batch)
         return metrics
@@ -116,16 +119,22 @@ class Trainer:
 
     def train(self, batches) -> TrainState:
         """`batches`: iterable of CollatedBatch (e.g. DataLoader.epoch())."""
+        from timeviper_tpu.data.loader import prefetch_to_device
+
         cfg = self.cfg
         accum: Dict[str, float] = {}
         n_accum = 0
         t_log = time.perf_counter()
         try:
-            for cb in batches:
+            # double-buffered host->device feed: the next batch's copy
+            # overlaps the current step's compute
+            for batch, plan in prefetch_to_device(
+                iter(batches), self.batch_sharding
+            ):
                 step_i = int(self.state.step)
                 if step_i >= cfg.max_steps:
                     break
-                metrics = self.train_step(cb)
+                metrics = self._device_step(batch, plan)
                 # metrics fetch forces completion (host sync point)
                 loss = float(np.asarray(metrics["loss"]))
                 accum["loss"] = accum.get("loss", 0.0) + loss
