@@ -418,10 +418,8 @@ def load_benchmark(
     name: str, data_root: Optional[str] = None, split: str = "default"
 ) -> List[dict]:
     loader = BENCHMARKS[name]
-    kwargs = {"split": split} if split != "default" else {}
-    if split == "default":
-        # loaders carry their own per-benchmark default splits
-        kwargs = {}
+    # loaders carry their own per-benchmark default splits
+    kwargs = {} if split == "default" else {"split": split}
     if data_root is not None:
         kwargs["root"] = data_root
     return loader(**kwargs)

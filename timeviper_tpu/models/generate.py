@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from timeviper_tpu.models.vlm import (
     decode_step,
     encode_visual,
     vlm_forward,
-)
+)  # noqa: F401 — encode_visual re-exported for engine use
 from timeviper_tpu.ops.sampling import SamplingParams, sample_token
 
 DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)

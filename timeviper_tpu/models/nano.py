@@ -61,9 +61,7 @@ def init_mamba_mixer(key, cfg: NanoConfig, dtype) -> Dict[str, Any]:
     ks = jax.random.split(key, 4)
     d = cfg.hidden_size
     d_inner = cfg.mamba_intermediate_size
-    conv_dim = cfg.conv_dim
     H = cfg.mamba_num_heads
-    proj_size = d_inner + conv_dim + H
     # dt_bias init: inverse-softplus of log-uniform dt (modeling_nano.py:1352-1366)
     u = jax.random.uniform(ks[2], (H,))
     dt = jnp.exp(

@@ -90,7 +90,6 @@ class ServingEngine:
         self.slot_lengths = np.zeros((num_slots,), np.int32)
         self.slot_valid_from = np.zeros((num_slots,), np.int32)
         self.queue: List[Request] = []
-        self._insert_fn = jax.jit(_tree_insert, static_argnames=())
         self._decode_fn = None
         self._last_tokens = np.zeros((num_slots,), np.int32)
 

@@ -48,7 +48,7 @@ def _lr_schedule(base_lr: float, cfg: OptimConfig):
         return sched
     decay_steps = max(cfg.total_steps - cfg.warmup_steps, 1)
     if cfg.schedule == "linear":
-        return optax.warmup_constant_schedule if False else optax.join_schedules(
+        return optax.join_schedules(
             [
                 optax.linear_schedule(0.0, base_lr, max(cfg.warmup_steps, 1)),
                 optax.linear_schedule(base_lr, 0.0, decay_steps),
