@@ -23,10 +23,8 @@ Setup notes:
 Skipped when the reference tree is absent.
 """
 
-import contextlib
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -38,63 +36,13 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _stub_mamba_ssm():
-    import torch
-
-    def rmsnorm_fn(x, weight, bias, z=None, eps=1e-5, group_size=None,
-                   norm_before_gate=False, **kw):
-        if z is not None and not norm_before_gate:
-            x = x * torch.nn.functional.silu(z)
-        shape = x.shape
-        if group_size is not None and group_size != shape[-1]:
-            xg = x.view(*shape[:-1], shape[-1] // group_size, group_size)
-            var = xg.pow(2).mean(-1, keepdim=True)
-            xg = xg * torch.rsqrt(var + eps)
-            x = xg.view(shape)
-        else:
-            var = x.pow(2).mean(-1, keepdim=True)
-            x = x * torch.rsqrt(var + eps)
-        out = x * weight
-        if z is not None and norm_before_gate:
-            out = out * torch.nn.functional.silu(z)
-        return out
-
-    names = [
-        "mamba_ssm", "mamba_ssm.ops", "mamba_ssm.ops.triton",
-        "mamba_ssm.ops.triton.ssd_combined",
-        "mamba_ssm.ops.triton.selective_state_update",
-        "mamba_ssm.ops.triton.layernorm_gated",
-    ]
-    for n in names:
-        sys.modules.setdefault(n, types.ModuleType(n))
-    sys.modules["mamba_ssm.ops.triton.ssd_combined"].mamba_chunk_scan_combined = None
-    sys.modules["mamba_ssm.ops.triton.ssd_combined"].mamba_split_conv1d_scan_combined = None
-    sys.modules["mamba_ssm.ops.triton.selective_state_update"].selective_state_update = None
-    sys.modules["mamba_ssm.ops.triton.layernorm_gated"].rmsnorm_fn = rmsnorm_fn
-    torch.cuda.stream = lambda *a, **k: contextlib.nullcontext()
-    torch.cuda.default_stream = lambda *a, **k: None
-
-
 def test_nano_logits_match_reference():
     import torch
 
-    _stub_mamba_ssm()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    import nano.modeling_nano as mn
-    from nano.configuration_nano import NemotronHConfig
+    from tests.ref_stubs import build_ref_nano
 
     # n_groups=1: tile/interleave group mappings coincide (see module doc)
-    ref_cfg = NemotronHConfig(
-        vocab_size=512, hidden_size=64, intermediate_size=128,
-        num_hidden_layers=6, hybrid_override_pattern="M-M*M-",
-        num_attention_heads=4, head_dim=16, num_key_value_heads=2,
-        ssm_state_size=16, mamba_num_heads=8, n_groups=1, mamba_head_dim=8,
-        chunk_size=16, use_cache=False,
-    )
-    ref_cfg._attn_implementation = "eager"
-    torch.manual_seed(0)
-    model = mn.NemotronHForCausalLM(ref_cfg).eval().float()
+    model = build_ref_nano()
     ids_t = torch.randint(0, 512, (1, 24))
     with torch.no_grad():
         ref_logits = model(input_ids=ids_t).logits.numpy()
