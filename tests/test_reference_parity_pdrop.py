@@ -104,3 +104,46 @@ def test_attn_rank_drop_function_parity():
     assert new_hidden.shape == ref_out.shape
     np.testing.assert_allclose(
         np.asarray(new_hidden), ref_out, rtol=2e-4, atol=2e-4)
+
+
+def test_transv_merge_full_model_parity():
+    """pdrop + TransV cross-attention merge (nonzero alpha gate) through the
+    full model vs the reference (merge_modules converted incl. the shared
+    alpha vector)."""
+    import torch
+
+    from tests.ref_stubs import build_ref_nano
+
+    model = build_ref_nano(use_pdrop=True, pdrop_type="uni_4_0.5",
+                           merge_module="CrossAttention")
+    with torch.no_grad():
+        model.backbone.alpha[0] = 0.7  # make the merge contribute
+    ids_t = torch.randint(0, 500, (1, 16))
+    with torch.no_grad():
+        ref_logits = model(
+            input_ids=ids_t, train_pdrop_args=_pdrop_args()).logits.numpy()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import tiny_nano_config
+    from timeviper_tpu.models.nano import nano_forward
+    from timeviper_tpu.models.pdrop import make_pdrop_spec
+    from timeviper_tpu.train.convert import (
+        convert_nano,
+        convert_nano_merge_modules,
+    )
+
+    cfg = tiny_nano_config(mamba_n_groups=1, use_pdrop=True,
+                           pdrop_type="uni_4_0.5",
+                           merge_module="CrossAttention")
+    params = jax.tree_util.tree_map(jnp.asarray, convert_nano(sd, cfg))
+    merge = jax.tree_util.tree_map(
+        jnp.asarray, convert_nano_merge_modules(sd, cfg))
+    spec = make_pdrop_spec([LAYOUT], cfg.pdrop_stages, query_positions=[QPOS])
+    ours = np.asarray(nano_forward(
+        params, cfg, input_ids=jnp.asarray(ids_t.numpy()),
+        pdrop_spec=spec, pdrop_params=merge)["logits"])
+    np.testing.assert_allclose(ours, ref_logits, rtol=3e-4, atol=3e-4)
+    assert (ours.argmax(-1) == ref_logits.argmax(-1)).all()

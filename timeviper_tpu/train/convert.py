@@ -141,6 +141,36 @@ def convert_nano(
     return params
 
 
+def convert_nano_merge_modules(
+    sd: Mapping[str, np.ndarray], cfg, dtype=np.dtype("float32"),
+    prefix: str = "backbone",
+):
+    """TransV merge modules: `backbone.merge_modules.{i}.{q,k,v,o}_proj` +
+    the shared `backbone.alpha` vector (one entry per non-"drop" stage,
+    modeling_nano.py:1482-1515) → our per-stage list with scalar alphas."""
+    stages = cfg.pdrop_stages
+    if not stages or cfg.merge_module != "CrossAttention":
+        return None
+    alpha = sd.get(f"{prefix}.alpha")
+    mods = []
+    alpha_i = 0
+    for i, stage in enumerate(stages):
+        if "drop" in stage.compress_type:
+            mods.append(None)
+            continue
+        mp = f"{prefix}.merge_modules.{i}"
+        mods.append({
+            "cross_attn": {
+                k: _lin(sd, f"{mp}.{k}", dtype)
+                for k in ("q_proj", "k_proj", "v_proj", "o_proj")
+            },
+            "alpha": (alpha[alpha_i] if alpha is not None
+                      else np.zeros((), np.float32)).astype(np.float32),
+        })
+        alpha_i += 1
+    return mods
+
+
 def convert_qwen2(
     sd: Mapping[str, np.ndarray], cfg, dtype=np.dtype("float32")
 ) -> Dict[str, Any]:
