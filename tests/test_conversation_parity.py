@@ -48,3 +48,31 @@ def test_qwen2_full_turn_last_has_no_trailing_newline():
         "<|im_start|>assistant\na<|im_end|>"
     )
     assert got == expected, repr(got)
+
+
+import importlib.util
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference tree not mounted")
+def test_against_live_reference_templates():
+    spec = importlib.util.spec_from_file_location(
+        "ref_conv", "/root/reference/timeviper/data/conversation.py")
+    rc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rc)
+
+    for name, ours in (("nano_base", CONV_NANO), ("qwen2", CONV_QWEN2)):
+        ref = rc.conv_templates[name].copy()
+        ref.messages = []
+        ref.append_message(ref.roles[0], "hello there")
+        ref.append_message(ref.roles[1], None)
+        assert ours.prompt_for_generation("hello there") == ref.get_prompt(), name
+
+        ref2 = rc.conv_templates[name].copy()
+        ref2.messages = []
+        ref2.append_message(ref2.roles[0], "q")
+        ref2.append_message(ref2.roles[1], "a")
+        assert ours.render([("user", "q"), ("assistant", "a")]) == ref2.get_prompt(), name
