@@ -18,14 +18,14 @@ Replaces the reference's Triton `mamba_chunk_scan_combined`
   segment starts — in prefill too (the reference's prefill dropped seq_idx,
   modeling_nano.py:648).
 
-PERF NOTE (round-1 finding): the host-side (B,L,H,P)->(B,H,L,P) layout
-transposes around this kernel cost ~32 ms at the 9B scale / L=8192 — as
-much as the kernel itself. A native-layout variant (5D blocked views +
-static per-head sublane loads) is algorithmically verified in interpret
-mode but crashes this image's remote Mosaic compile helper; retry on a
-standard libtpu toolchain. Inside the full model XLA fuses part of the
-transpose into the producing projections, so the model-level cost is
-smaller than the op-level benchmark suggests.
+PERF NOTE (round-1 measurements, latency-corrected — the axon tunnel
+adds ~30 ms per dispatch+fetch, so single-op timings lie): at the 9B
+scale / L=8192 this kernel runs ~5.7 ms vs ~12.1 ms for the XLA-fused jnp
+path (2.1x). The host-side layout transposes are sub-ms (the earlier
+"32 ms transpose" reading was pure tunnel latency). A native-layout
+variant (5D blocked views + per-head sublane loads) also exists
+(verified in interpret mode) but crashes this image's remote Mosaic
+compile helper; revisit on a standard libtpu toolchain if more is needed.
 
 Backward: `ssd` is a custom_vjp whose forward runs this kernel and whose
 backward rematerializes through the pure-jnp `ssd_chunked` (ops/ssd.py) under
