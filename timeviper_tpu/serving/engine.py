@@ -70,6 +70,7 @@ class ServingEngine:
         sampling: SamplingParams = SamplingParams(),
         pad_token_id: int = 0,
         cache_dtype=jnp.bfloat16,
+        steps_per_sync: int = 4,
     ) -> None:
         self.params = params
         self.arch = arch
@@ -92,6 +93,10 @@ class ServingEngine:
         self.queue: List[Request] = []
         self._decode_fn = None
         self._last_tokens = np.zeros((num_slots,), np.int32)
+        # decode steps batched per host round trip: each dispatch+sync pays
+        # the full host<->device latency, so amortize it over several tokens
+        # (slots that hit a terminator mid-burst get trimmed on the host)
+        self.steps_per_sync = max(1, steps_per_sync)
 
     # ------------------------------------------------------------------
 
@@ -158,8 +163,9 @@ class ServingEngine:
     def _get_decode(self):
         if self._decode_fn is None:
             arch = self.arch
+            n_steps = self.steps_per_sync
 
-            def step(params, tokens, cache, lengths, valid_from, key):
+            def one_step(params, tokens, layers_all, lengths, valid_from, key):
                 # per-slot lengths: override the scalar cache length with a
                 # vector — decode_step uses cache["length"] for positions and
                 # KV writes, so run with per-slot state via vmap
@@ -173,12 +179,26 @@ class ServingEngine:
                         lambda x: x[0], c2["layers"])
                     return logits[0], new_layers
 
-                # vmap over slots; params broadcast
                 logits, new_layers = jax.vmap(
                     one, in_axes=(None, 0, 0, 0, 0))(
-                    params, tokens, cache["layers"], lengths, valid_from)
-                nxt = sample_token(logits, key, self.sampling)
-                return nxt, {"layers": new_layers,
+                    params, tokens, layers_all, lengths, valid_from)
+                return sample_token(logits, key, self.sampling), new_layers
+
+            def step(params, tokens, cache, lengths, valid_from, key):
+                def body(i, carry):
+                    toks, layers, lens, out = carry
+                    sub = jax.random.fold_in(key, i)
+                    nxt, layers = one_step(
+                        params, toks, layers, lens, valid_from, sub)
+                    out = jax.lax.dynamic_update_index_in_dim(
+                        out, nxt, i, axis=1)
+                    return (nxt, layers, lens + 1, out)
+
+                out0 = jnp.zeros((tokens.shape[0], n_steps), jnp.int32)
+                _, layers, _, out = jax.lax.fori_loop(
+                    0, n_steps, body,
+                    (tokens, cache["layers"], lengths, out0))
+                return out, {"layers": layers,
                              "length": cache["length"],
                              "valid_from": cache["valid_from"]}
 
@@ -193,19 +213,31 @@ class ServingEngine:
         tokens = jnp.asarray(self._last_tokens)
         lengths = jnp.asarray(self.slot_lengths)
         vf = jnp.asarray(self.slot_valid_from)
-        nxt, self.cache = step(
+        burst, self.cache = step(
             self.params, tokens, self.cache, lengths, vf, rng_key)
-        nxt = np.asarray(nxt)
+        burst = np.asarray(burst)  # (slots, steps_per_sync)
+        n = burst.shape[1]
         for i in active:
             req = self.slot_req[i]
-            tok = int(nxt[i])
-            req.output_ids.append(tok)
-            self.slot_lengths[i] += 1
-            self._last_tokens[i] = tok
-            if (tok in self.terminators
-                    or len(req.output_ids) >= req.max_new_tokens):
-                req.done = True
-                self.slot_req[i] = None
+            for j in range(n):
+                tok = int(burst[i, j])
+                req.output_ids.append(tok)
+                self.slot_lengths[i] += 1
+                self._last_tokens[i] = tok
+                if (tok in self.terminators
+                        or len(req.output_ids) >= req.max_new_tokens):
+                    req.done = True
+                    self.slot_req[i] = None
+                    # tokens past the stop were speculative; lengths for this
+                    # slot stop mattering — the next prefill overwrites it
+                    break
+            else:
+                continue
+        # slots that stopped mid-burst advanced their device-side length by
+        # the full burst; correct the host view for still-active slots only
+        for i in range(self.num_slots):
+            if self.slot_req[i] is not None:
+                self.slot_lengths[i] = int(lengths[i]) + n
 
     # ------------------------------------------------------------------
 
