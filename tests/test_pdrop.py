@@ -131,3 +131,30 @@ def test_transv_merge_changes_suffix_only():
         np.asarray(h2[0, :6]), np.asarray(h_plain[0, :6]), atol=1e-6
     )
     assert not np.allclose(np.asarray(h2[0, 6:]), np.asarray(h_plain[0, 6:]))
+
+
+def test_generation_with_pdrop():
+    """Bucketless pdrop prefill through the Generator (inference path)."""
+    from timeviper_tpu.models.generate import Generator
+
+    llm = tiny_nano_config(
+        use_pdrop=True, pdrop_type="uni_2_0.5", merge_module="CrossAttention",
+    )
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-4"),
+        vision=tiny_vit_config(),
+        llm=llm,
+        llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    gen = Generator(params, arch, terminator_ids=[-2], pad_token_id=0,
+                    max_new_tokens=4, cache_dtype=jnp.float32)
+    img = 500
+    pixels = np.random.default_rng(0).random((2, 28, 28, 3)).astype(np.float32)
+    out = gen.generate([5, img, img, 9, 10, 11], pixels=pixels,
+                       image_token_id=img, use_pdrop=True)
+    assert out.num_generated == 4
+    # and the same prompt without pdrop still works (separate compile)
+    out2 = gen.generate([5, img, img, 9, 10, 11], pixels=pixels,
+                        image_token_id=img, use_pdrop=False)
+    assert out2.num_generated == 4

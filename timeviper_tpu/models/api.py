@@ -68,6 +68,7 @@ class TimeViperModel:
     processor: Processor
     template: ChatTemplate
     generator: Generator
+    default_use_pdrop: bool = False
 
     def generate(
         self,
@@ -75,7 +76,7 @@ class TimeViperModel:
         pixels: Optional[np.ndarray] = None,
         answer_prompt: Optional[str] = None,
         rng_seed: int = 0,
-        use_pdrop: bool = False,
+        use_pdrop: Optional[bool] = None,
     ) -> str:
         """One prompt -> decoded completion text."""
         answer_ids = None
@@ -86,7 +87,8 @@ class TimeViperModel:
             pixels=pixels,
             image_token_id=self.processor.image_token_id,
             answer_prompt_ids=answer_ids,
-            use_pdrop=use_pdrop,
+            use_pdrop=(self.default_use_pdrop if use_pdrop is None
+                       else use_pdrop),
             rng_seed=rng_seed,
         )
         toks = [
@@ -132,6 +134,17 @@ def load_pretrained_vlm(
         arch_specifier=meta.get("arch_specifier", "tome_mlp-16"),
     )
     arch = build_arch(vlm_cfg)
+    # pdrop settings persist on the checkpoint config like the reference
+    # carries them on NemotronHConfig (configuration_nano.py:179)
+    if use_pdrop or meta.get("use_pdrop"):
+        import dataclasses as _dc
+
+        arch = _dc.replace(arch, llm=_dc.replace(
+            arch.llm,
+            use_pdrop=True,
+            pdrop_type=meta.get("pdrop_type", arch.llm.pdrop_type),
+            merge_module=meta.get("merge_module", arch.llm.merge_module),
+        ))
 
     # weights
     orbax_dir = os.path.join(checkpoint, "orbax")
@@ -193,4 +206,5 @@ def load_pretrained_vlm(
     return TimeViperModel(
         arch=arch, params=params, processor=processor, template=template,
         generator=generator,
+        default_use_pdrop=bool(use_pdrop or meta.get("use_pdrop")),
     )

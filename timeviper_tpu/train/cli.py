@@ -199,19 +199,20 @@ def main(argv=None):
     from timeviper_tpu.train.checkpoint import save_params
 
     final = os.path.join(args.run_dir, "final", "orbax")
-    save_params(final, trainer.state.params, meta={
+    final_meta = {
         "vision_backbone_id": args.vision_backbone_id,
         "llm_backbone_id": args.llm_backbone_id,
         "arch_specifier": args.arch_specifier,
         "conv_template": args.conv_template,
-    })
+        # pdrop settings travel with the checkpoint (reference keeps them on
+        # the model config, configuration_nano.py:179)
+        "use_pdrop": bool(args.use_pdrop),
+        "pdrop_type": args.pdrop_type,
+        "merge_module": args.merge_module,
+    }
+    save_params(final, trainer.state.params, meta=final_meta)
     with open(os.path.join(args.run_dir, "final", "config.json"), "w") as f:
-        json.dump({
-            "vision_backbone_id": args.vision_backbone_id,
-            "llm_backbone_id": args.llm_backbone_id,
-            "arch_specifier": args.arch_specifier,
-            "conv_template": args.conv_template,
-        }, f, indent=2)
+        json.dump(final_meta, f, indent=2)
     overwatch.info(f"final artifacts at {os.path.join(args.run_dir, 'final')}")
 
 
