@@ -15,7 +15,9 @@ exploits that with **slot-based continuous batching**:
 * Decode steps run ALL active slots in one jitted batched step; finished
   slots are freed and refilled from the queue (continuous batching).
 * Like the reference's vLLM path, vision encoding + fusion happens outside
-  the engine (prompt embeddings in, vllm_infer.py:118-190).
+  the engine (prompt embeddings in, vllm_infer.py:118-190), and — also like
+  the vLLM path — pdrop is not applied (it lives inside the HF-model
+  forward in the reference; use the offline Generator for pdrop eval).
 
 All shapes are static: (num_slots, max_len) caches + one compiled decode
 step regardless of the request mix.
