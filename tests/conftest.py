@@ -19,7 +19,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: this box has one CPU core and XLA compiles
-# dominate test wall-clock; cache survives across pytest runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# dominate test wall-clock; cache survives across pytest runs.
+# The cache dir is keyed by the host CPU feature set: AOT entries produced
+# on a different microarch load with mismatched instruction selection
+# (numerically divergent, SIGILL-prone — observed when /tmp persisted
+# across VM generations).
+import hashlib  # noqa: E402
+
+def _cpu_key() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:12]
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_cpu_key()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -7,7 +7,24 @@ jax use; respects JAX_COMPILATION_CACHE_DIR when set.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _machine_key() -> str:
+    """Key the cache by CPU feature set: AOT entries from a different
+    microarch load with mismatched instruction selection (numerically
+    divergent, SIGILL-prone)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
@@ -16,7 +33,7 @@ def enable_compilation_cache(path: str | None = None) -> None:
     cache_dir = (
         path
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or os.path.expanduser("~/.cache/timeviper_tpu/xla")
+        or os.path.expanduser(f"~/.cache/timeviper_tpu/xla_{_machine_key()}")
     )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
