@@ -75,3 +75,51 @@ def test_iv2_vlm_encode_with_clip_tome():
     out = encode_visual(params, arch, pixels)
     # clip-joint ToMe: 2 tokens per frame after the per-clip merge
     assert out.shape == (4, 2, arch.llm.hidden_size)
+
+
+def test_multi_tower_generation_end_to_end():
+    from timeviper_tpu.models.generate import Generator
+
+    towers = (
+        ("tiny-a", "siglip", tiny_vit_config()),
+        ("tiny-b", "dinov2", tiny_vit_config(
+            use_class_token=True, num_register_tokens=1, use_layer_scale=True,
+            hidden_act="gelu")),
+    )
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=towers[0][2],
+        llm=tiny_nano_config(),
+        llm_family="nano",
+        vision_family="multi",
+        vision_backbones=towers,
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, jnp.float32)
+    gen = Generator(params, arch, terminator_ids=[-2], pad_token_id=0,
+                    max_new_tokens=4, cache_dtype=jnp.float32)
+    img = 500
+    pixels = np.random.default_rng(0).random((2, 28, 28, 3)).astype(np.float32)
+    out = gen.generate([5, img, img, 9], pixels=pixels, image_token_id=img)
+    assert out.num_generated == 4
+
+
+def test_iv2_generation_end_to_end():
+    from timeviper_tpu.models.generate import Generator
+
+    cfg = tiny_iv2_config()
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=cfg,
+        llm=tiny_nano_config(),
+        llm_family="nano",
+        vision_family="internvideo2",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, jnp.float32)
+    gen = Generator(params, arch, terminator_ids=[-2], pad_token_id=0,
+                    max_new_tokens=3, cache_dtype=jnp.float32)
+    img = 500
+    # 4 frames = 2 clips of num_frames=2
+    pixels = np.random.default_rng(1).random((4, 28, 28, 3)).astype(np.float32)
+    out = gen.generate([5] + [img] * 4 + [9], pixels=pixels,
+                       image_token_id=img)
+    assert out.num_generated == 3
