@@ -6,8 +6,9 @@ Video decode is input-pipeline work and stays on the CPU host (SURVEY.md §2.2
 N8); the device sees ready frame arrays, streamed in via `jax.device_put`
 double-buffering (data/loader.py).
 
-Backends are probed in order decord → PyAV → OpenCV and gated gracefully —
-none are hard dependencies of the framework (tests use synthetic frames).
+Backends are probed in order native (our C++ libav decoder,
+native/videodec.cpp — the decord replacement) → decord → PyAV → OpenCV and
+gated gracefully.
 """
 
 from __future__ import annotations
@@ -81,6 +82,14 @@ class VideoMeta:
     duration: float
 
 
+def _load_native(path: str, indices: np.ndarray) -> Tuple[np.ndarray, VideoMeta]:
+    from timeviper_tpu.data import native_video as nv
+
+    w, h, fps, total, duration = nv.probe(path)
+    frames = nv.read_frames(path, indices)
+    return frames, VideoMeta(total, fps, duration)
+
+
 def load_subtitle(
     srt_path: str,
     timestamps: Optional[Sequence[float]] = None,
@@ -123,6 +132,12 @@ def load_subtitle(
 
 
 def probe_backend() -> Optional[str]:
+    # native libav decoder first (the decord replacement; always available
+    # when g++ + ffmpeg libs exist), then python backends
+    from timeviper_tpu.data.native_video import native_video_available
+
+    if native_video_available():
+        return "native"
     for name, mod in (("decord", "decord"), ("pyav", "av"), ("opencv", "cv2")):
         try:
             __import__(mod)
@@ -182,6 +197,11 @@ def _load_opencv(path: str, indices: np.ndarray) -> Tuple[np.ndarray, VideoMeta]
 
 def video_meta(path: str) -> VideoMeta:
     backend = probe_backend()
+    if backend == "native":
+        from timeviper_tpu.data import native_video as nv
+
+        w, h, fps, total, duration = nv.probe(path)
+        return VideoMeta(total, fps, duration)
     if backend == "decord":
         import decord
 
@@ -231,9 +251,8 @@ def load_video(
     else:
         idx = fps_indices(meta.fps, meta.total_frames, fps, min_frames, max_frames)
     backend = probe_backend()
-    loader = {"decord": _load_decord, "pyav": _load_pyav, "opencv": _load_opencv}[
-        backend
-    ]
+    loader = {"native": _load_native, "decord": _load_decord,
+              "pyav": _load_pyav, "opencv": _load_opencv}[backend]
     frames, meta = loader(path, idx)
     ts = idx.astype(np.float64) / max(meta.fps, 1e-6)
     return frames, ts, meta
