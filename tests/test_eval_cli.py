@@ -117,3 +117,39 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch, serving):
                       "--output_dir", out_dir])
     assert "avg" in result and result["total"] == 3
     assert os.path.exists(os.path.join(out_dir, "scores.json"))
+
+
+def test_eval_cli_with_real_video_decode(tmp_path, monkeypatch):
+    """Same pipeline but decoding REAL video files through the native
+    libav decoder (no loader monkeypatch)."""
+    import timeviper_tpu.eval.evaluate as ev
+    from timeviper_tpu.data.native_video import native_video_available
+
+    if not native_video_available():
+        pytest.skip("native video decoder unavailable")
+    from tests.test_native_video import write_raw_avi
+
+    _make_checkpoint(tmp_path)
+    records = []
+    for i in range(2):
+        rng = np.random.default_rng(i)
+        frames = rng.integers(0, 255, (10, 28, 28, 3), dtype=np.uint8)
+        path = str(tmp_path / f"v{i}.avi")
+        write_raw_avi(path, frames, fps=5)
+        records.append({
+            "video": path,
+            "question": "what color is the sky .",
+            "options": ["A . blue", "B . red"],
+            "answer": 0, "duration": 2.0, "task_type": "color",
+            "qid": f"real|{i}",
+        })
+    monkeypatch.setattr(ev, "load_benchmark",
+                        lambda name, root, split: list(records))
+    out_dir = str(tmp_path / "out_real")
+    ev.main([
+        "--checkpoint", str(tmp_path), "--dataset_name", "mvbench",
+        "--output_dir", out_dir, "--max_new_tokens", "3",
+        "--min_frames", "4", "--max_frames", "4",
+    ])
+    with open(os.path.join(out_dir, "0_of_1.jsonl")) as f:
+        assert len(f.readlines()) == 2
