@@ -120,6 +120,8 @@ class DataLoader:
         num_workers: int = 2,
         prefetch: int = 2,
         drop_last: bool = True,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -131,6 +133,18 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # multi-host: each process reads a disjoint shard (the reference's
+        # DistributedProxySampler analog, train_utils.py:245)
+        if process_index is None or process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -139,14 +153,26 @@ class DataLoader:
     def _index_batches(self, epoch: int) -> List[List[int]]:
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
+            # same seed on every process -> identical permutation, then each
+            # process takes its stride-slice (disjoint shards)
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idxs)
+        if self.process_count > 1:
+            idxs = idxs[self.process_index::self.process_count]
         batches = [
             idxs[i : i + self.batch_size].tolist()
             for i in range(0, len(idxs), self.batch_size)
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if not batches:
+            import warnings
+
+            warnings.warn(
+                f"DataLoader yields 0 batches: {len(self.dataset)} items / "
+                f"{self.process_count} processes < batch_size="
+                f"{self.batch_size} with drop_last={self.drop_last}"
+            )
         return batches
 
     def epoch(self, epoch: int = 0) -> Iterator[CollatedBatch]:
