@@ -1,0 +1,102 @@
+"""Pipeline parallelism: GPipe over per-stage programs must reproduce the
+single-program forward/backward exactly (up to fp32 summation order)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timeviper_tpu.config import tiny_nano_config
+from timeviper_tpu.models.nano import init_nano_params, nano_forward
+from timeviper_tpu.parallel.pipeline import (
+    IGNORE_INDEX,
+    PipelineRunner,
+    _ce_sum,
+    split_stages,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_nano_config()
+    params = init_nano_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(3, cfg.vocab_size, (4, 32)), jnp.int32)
+    labels = np.asarray(ids).copy()
+    labels[:, :5] = IGNORE_INDEX  # masked prompt region
+    return cfg, params, ids, jnp.asarray(labels)
+
+
+def test_split_stages_contiguous_cover(setup):
+    cfg, params, *_ = setup
+    for n in (1, 2, 3, 6):
+        b = split_stages(params, n)
+        assert b[0][0] == 0 and b[-1][1] == cfg.num_hidden_layers
+        for (l0, h0), (l1, h1) in zip(b, b[1:]):
+            assert h0 == l1 and h0 > l0
+        assert all(hi > lo for lo, hi in b)
+
+
+def test_pipeline_forward_matches_single_program(setup):
+    cfg, params, ids, _ = setup
+    ref = nano_forward(params, cfg, input_ids=ids)["logits"]
+    pipe = PipelineRunner(params, cfg, n_stages=3)
+    got = pipe.forward(ids, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def _ref_loss_grads(params, cfg, ids, labels):
+    def loss(p):
+        logits = nano_forward(p, cfg, input_ids=ids)["logits"]
+        s, c = _ce_sum(logits, labels)
+        return s / jnp.maximum(c, 1).astype(jnp.float32)
+
+    return jax.value_and_grad(loss)(params)
+
+
+def test_pipeline_train_step_matches_full_batch_grads(setup):
+    cfg, params, ids, labels = setup
+    ref_loss, ref_g = _ref_loss_grads(params, cfg, ids, labels)
+
+    pipe = PipelineRunner(params, cfg, n_stages=3)
+    loss, grads = pipe.train_step(ids, labels, n_micro=2)
+    assert abs(float(loss) - float(ref_loss)) < 1e-5
+
+    for s, (lo, hi) in enumerate(pipe.bounds):
+        for li, g_layer in enumerate(grads[s]["layers"]):
+            ref_layer = ref_g["layers"][lo + li]
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3),
+                g_layer, ref_layer,
+            )
+    np.testing.assert_allclose(np.asarray(grads[0]["embeddings"]),
+                               np.asarray(ref_g["embeddings"]),
+                               atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(grads[-1]["lm_head"]["kernel"]),
+        np.asarray(ref_g["lm_head"]["kernel"]), atol=3e-4, rtol=1e-3)
+
+
+def test_pipeline_single_stage_degenerate(setup):
+    cfg, params, ids, labels = setup
+    ref_loss, _ = _ref_loss_grads(params, cfg, ids, labels)
+    pipe = PipelineRunner(params, cfg, n_stages=1)
+    loss, grads = pipe.train_step(ids, labels, n_micro=4)
+    assert abs(float(loss) - float(ref_loss)) < 1e-5
+    assert len(grads) == 1 and "embeddings" in grads[0]
+
+
+def test_pipeline_stage_placement(setup):
+    cfg, params, ids, _ = setup
+    n = min(4, len(jax.devices()))
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    pipe = PipelineRunner(params, cfg, n_stages=n)
+    devs = set()
+    for sp in pipe.stage_params:
+        leaf = jax.tree_util.tree_leaves(sp)[0]
+        (d,) = leaf.devices()
+        devs.add(d)
+    assert len(devs) == n  # params actually spread across devices
