@@ -51,6 +51,20 @@ class GenerationOutput:
     num_generated: int
 
 
+# Process-wide executable cache. Two Generators/ServingEngines with the same
+# config must reuse ONE compiled program: besides avoiding recompiles, a
+# fresh in-memory compile and a persistent-cache AOT load can differ in the
+# last bits (different codegen targets), which flips argmax on near-ties —
+# sharing the executable keeps same-process results bitwise reproducible.
+_EXECUTABLE_CACHE: Dict[Tuple, Any] = {}
+
+
+def cached_jit(key: Tuple, make_fn):
+    if key not in _EXECUTABLE_CACHE:
+        _EXECUTABLE_CACHE[key] = jax.jit(make_fn())
+    return _EXECUTABLE_CACHE[key]
+
+
 class Generator:
     """Holds jitted executables, keyed by static bucket shapes."""
 
@@ -74,9 +88,6 @@ class Generator:
         self.sampling = sampling
         self.clip_size = clip_size
         self.cache_dtype = cache_dtype
-        self._prefill_fns: Dict[Tuple, Any] = {}
-        self._decode_fn = None
-        self._encode_fns: Dict[int, Any] = {}
 
     # -- vision ----------------------------------------------------------
 
@@ -88,11 +99,9 @@ class Generator:
         for s in range(0, F, self.clip_size):
             clip = pixels[s : s + self.clip_size]
             n = clip.shape[0]
-            if n not in self._encode_fns:
-                self._encode_fns[n] = jax.jit(
-                    partial(encode_visual, arch=self.arch)
-                )
-            outs.append(self._encode_fns[n](self.params, pixels=jnp.asarray(clip)))
+            enc = cached_jit(("encode", repr(self.arch)),
+                             lambda: partial(encode_visual, arch=self.arch))
+            outs.append(enc(self.params, pixels=jnp.asarray(clip)))
         ve = jnp.concatenate(outs, axis=0)
         return ve.reshape(-1, ve.shape[-1])
 
@@ -100,9 +109,10 @@ class Generator:
 
     def _get_prefill(self, bucket_len: int, layouts, cache_len: int, use_pdrop,
                      qpos):
-        key = (bucket_len, layouts, cache_len, use_pdrop, qpos)
-        if key not in self._prefill_fns:
+        key = ("prefill", repr(self.arch), bucket_len, layouts, cache_len,
+               use_pdrop, qpos)
 
+        def make():
             def prefill(params, input_ids, gather_idx, seq_idx, visual, valid_from):
                 plan_len = bucket_len
                 plan = FusionPlan(
@@ -129,13 +139,17 @@ class Generator:
                 last_logits = out["logits"][:, -1]
                 return last_logits, out["cache"]
 
-            self._prefill_fns[key] = jax.jit(prefill)
-        return self._prefill_fns[key]
+            return prefill
+
+        return cached_jit(key, make)
 
     # -- decode loop -----------------------------------------------------
 
     def _get_decode(self):
-        if self._decode_fn is None:
+        key = ("decode", repr(self.arch), self.max_new_tokens,
+               repr(self.sampling), self.terminators)
+
+        def make():
             terminators = jnp.asarray(self.terminators, jnp.int32)
             max_new = self.max_new_tokens
             samp = self.sampling
@@ -162,8 +176,9 @@ class Generator:
                 i, _, cache, _, out, _ = jax.lax.while_loop(cond, body, state)
                 return out, i
 
-            self._decode_fn = jax.jit(decode)
-        return self._decode_fn
+            return decode
+
+        return cached_jit(key, make)
 
     # -- public ----------------------------------------------------------
 

@@ -93,7 +93,6 @@ class ServingEngine:
         self.slot_lengths = np.zeros((num_slots,), np.int32)
         self.slot_valid_from = np.zeros((num_slots,), np.int32)
         self.queue: List[Request] = []
-        self._decode_fn = None
         self._last_tokens = np.zeros((num_slots,), np.int32)
         # decode steps batched per host round trip: each dispatch+sync pays
         # the full host<->device latency, so amortize it over several tokens
@@ -163,7 +162,12 @@ class ServingEngine:
         self._last_tokens[slot] = tok
 
     def _get_decode(self):
-        if self._decode_fn is None:
+        from timeviper_tpu.models.generate import cached_jit
+
+        key = ("serve_decode", repr(self.arch), self.steps_per_sync,
+               repr(self.sampling))
+
+        def make():
             arch = self.arch
             n_steps = self.steps_per_sync
 
@@ -204,8 +208,9 @@ class ServingEngine:
                              "length": cache["length"],
                              "valid_from": cache["valid_from"]}
 
-            self._decode_fn = jax.jit(step)
-        return self._decode_fn
+            return step
+
+        return cached_jit(key, make)
 
     def _decode_once(self, rng_key) -> None:
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
