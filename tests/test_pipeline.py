@@ -88,6 +88,25 @@ def test_pipeline_single_stage_degenerate(setup):
     assert len(grads) == 1 and "embeddings" in grads[0]
 
 
+def test_pipeline_with_tensor_parallel_stages(setup):
+    """TP×PP composition: 2-way TP inside each of 3 stages (6 devices)."""
+    cfg, params, ids, labels = setup
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 devices")
+    ref_loss, _ = _ref_loss_grads(params, cfg, ids, labels)
+    pipe = PipelineRunner(params, cfg, n_stages=3, tp=2)
+    # params actually sharded: a TP'd kernel has 2 addressable shards
+    qk = pipe.stage_params[0]["layers"][0]["mixer"]["in_proj"]["gate"]["kernel"]
+    assert len(qk.sharding.device_set) == 2
+    ref = nano_forward(params, cfg, input_ids=ids)["logits"]
+    got = pipe.forward(ids, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-4)
+    loss, grads = pipe.train_step(ids, labels, n_micro=2)
+    assert abs(float(loss) - float(ref_loss)) < 1e-5
+    assert len(grads) == 3
+
+
 def test_pipeline_stage_placement(setup):
     cfg, params, ids, _ = setup
     n = min(4, len(jax.devices()))

@@ -128,24 +128,39 @@ class PipelineRunner:
     """
 
     def __init__(self, params: Dict[str, Any], cfg: NanoConfig,
-                 n_stages: int, devices: Optional[Sequence] = None):
+                 n_stages: int, devices: Optional[Sequence] = None,
+                 tp: int = 1):
+        from jax.sharding import NamedSharding, PartitionSpec
+        from timeviper_tpu.parallel.sharding import make_mesh, params_shardings
+
         devices = list(devices if devices is not None else jax.devices())
-        assert len(devices) >= n_stages, (len(devices), n_stages)
+        assert len(devices) >= n_stages * tp, (len(devices), n_stages, tp)
         self.cfg = cfg
         self.n_stages = n_stages
+        self.tp = tp
         self.bounds = split_stages(params, n_stages)
         per = len(devices) // n_stages
-        self.stage_devices = [devices[s * per:(s + 1) * per]
+        assert per >= tp, (per, tp)
+        self.stage_devices = [devices[s * per:s * per + tp]
                               for s in range(n_stages)]
-        self.shardings = [jax.sharding.SingleDeviceSharding(g[0])
-                          for g in self.stage_devices]
+        # each stage runs on its own (1, 1, tp) submesh; activations are
+        # replicated within a stage, parameters TP-sharded by the same
+        # regex rules as the flat-mesh path (parallel/sharding.py)
+        self.meshes = [make_mesh(model=tp, devices=g)
+                       for g in self.stage_devices]
+        self.shardings = [NamedSharding(m, PartitionSpec())
+                          for m in self.meshes]
 
         self.stage_params, self._fwd, self._bwd = [], [], []
         types = cfg.layers_block_type
         for s, (lo, hi) in enumerate(self.bounds):
             first, last = s == 0, s == n_stages - 1
-            sp = jax.device_put(
-                _stage_params(params, lo, hi, first, last), self.shardings[s]
+            sp_host = _stage_params(params, lo, hi, first, last)
+            sp_sh = params_shardings(
+                {"llm_backbone": sp_host}, self.meshes[s])["llm_backbone"]
+            sp = jax.tree_util.tree_map(
+                lambda x, sh: jax.device_put(x, sh, may_alias=False),
+                sp_host, sp_sh,
             )
             self.stage_params.append(sp)
             fn = _make_stage_fn(cfg, types[lo:hi], first, last)
