@@ -153,3 +153,37 @@ def test_eval_cli_with_real_video_decode(tmp_path, monkeypatch):
     ])
     with open(os.path.join(out_dir, "0_of_1.jsonl")) as f:
         assert len(f.readlines()) == 2
+
+
+def test_eval_video_lru_cache(tmp_path, monkeypatch):
+    """Repeated questions on one video decode it once; LRU evicts."""
+    import timeviper_tpu.data.video as video_mod
+    import timeviper_tpu.eval.datasets as ds
+
+    monkeypatch.setattr(ds, "VIDEO_CACHE_SIZE", 2)
+    ds._VIDEO_CACHE.clear()
+    calls = []
+
+    def counting(path, **kw):
+        calls.append(path)
+        return _fake_load_video(path, **kw)
+
+    monkeypatch.setattr(video_mod, "load_video", counting)
+    from timeviper_tpu.data.conversation import CONV_TEMPLATES
+
+    class _FakeProc:
+        def __call__(self, prompt, videos=None):
+            return {"input_ids": np.zeros(4, np.int32),
+                    "pixels": np.zeros((1, 2, 2, 3), np.uint8)}
+
+    records = [dict(FAKE_RECORDS[0], video=f"/v{v}.mp4", qid=f"q{i}")
+               for i, v in enumerate([0, 0, 1, 1, 0, 2, 0])]
+    dset = ds.EvalDataset(records, "mcq", _FakeProc(),
+                          CONV_TEMPLATES["nano_base"],
+                          ds.EvalSampleConfig(min_frames=4, max_frames=4))
+    for i in range(len(dset)):
+        dset[i]
+    # v0 x2 -> 1 decode; v1 x2 -> 1; v0 again (still cached) -> 0;
+    # v2 evicts v1... v0 stays hot -> final v0 hit. total: v0,v1,v2 = 3
+    assert calls == ["/v0.mp4", "/v1.mp4", "/v2.mp4"]
+    ds._VIDEO_CACHE.clear()

@@ -20,6 +20,7 @@ Prompt formats (must match for score parity):
 from __future__ import annotations
 
 import random
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -98,6 +99,11 @@ def build_user_prompt(item: Dict[str, Any], datatype: str, num_frames: int) -> s
     raise ValueError(datatype)
 
 
+# decoded-clip LRU: 256 frames x 224^2 x 3 uint8 ~ 38 MB per entry
+VIDEO_CACHE_SIZE = 8
+_VIDEO_CACHE: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+
+
 class EvalDataset:
     """Iterates benchmark records -> model inputs + scoring metadata."""
 
@@ -131,6 +137,15 @@ class EvalDataset:
     def _load_frames(self, item) -> np.ndarray:
         if self.video_loader is not None:
             return self.video_loader(item, self.cfg)
+        # benchmarks ask many questions about one video; cache decoded
+        # clips (the reference's LimitedSizeSharedDict, eval/vllm_inference/
+        # data/__init__.py:112 — ours is in-process, eval is one process)
+        key = (item["video"], self.cfg.sampling, self.cfg.fps,
+               self.cfg.num_frames, self.cfg.min_frames, self.cfg.max_frames)
+        cached = _VIDEO_CACHE.get(key)
+        if cached is not None:
+            _VIDEO_CACHE.move_to_end(key)
+            return cached
         from timeviper_tpu.data.video import load_video
 
         frames, _, _ = load_video(
@@ -141,6 +156,9 @@ class EvalDataset:
             min_frames=self.cfg.min_frames,
             max_frames=self.cfg.max_frames,
         )
+        _VIDEO_CACHE[key] = frames
+        while len(_VIDEO_CACHE) > VIDEO_CACHE_SIZE:
+            _VIDEO_CACHE.popitem(last=False)
         return frames
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
