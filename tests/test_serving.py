@@ -86,7 +86,7 @@ def test_terminator_stops_early():
     # make every token a terminator: requests finish after 1 token
     eng = ServingEngine(
         params, arch, terminator_ids=list(range(arch.llm.vocab_size)),
-        num_slots=2, max_len=128, max_new_tokens=6,
+        num_slots=2, max_len=256, max_new_tokens=6,
         cache_dtype=jnp.float32, steps_per_sync=4,
     )
     reqs = [Request(request_id=i, input_ids=[5, 6, 7], max_new_tokens=6)
@@ -94,3 +94,46 @@ def test_terminator_stops_early():
     out = eng.run(reqs)
     assert all(r.done for r in out)
     assert all(len(r.output_ids) == 1 for r in out)
+
+
+def test_continuous_batching_qwen2_family():
+    """Same engine over the pure-KV qwen2 cache (different slot pytree)."""
+    from timeviper_tpu.config import tiny_qwen2_config
+    from timeviper_tpu.models.qwen2 import qwen2_forward
+
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=tiny_vit_config(),
+        llm=tiny_qwen2_config(),
+        llm_family="qwen2",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    prompts = [[5 + i, 6, 7, 8] for i in range(3)]
+    # max_len must cover bucket(128) + max_new; an undersized engine
+    # rejects the request instead of silently corrupting KV
+    import pytest as _pytest
+
+    bad = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=2, max_len=128,
+        max_new_tokens=4, cache_dtype=jnp.float32, steps_per_sync=2,
+    )
+    with _pytest.raises(ValueError, match="exceeds engine max_len"):
+        bad.run([Request(request_id=0, input_ids=prompts[0],
+                         max_new_tokens=4)])
+    eng = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=2, max_len=256,
+        max_new_tokens=4, cache_dtype=jnp.float32, steps_per_sync=2,
+    )
+    out = eng.run([Request(request_id=i, input_ids=p, max_new_tokens=4)
+                   for i, p in enumerate(prompts)])
+    assert all(r.done for r in out)
+    assert all(len(r.output_ids) == 4 for r in out)
+    for p, r in zip(prompts, out):
+        seq = jnp.asarray([p + r.output_ids[:-1]])
+        logits = np.asarray(
+            qwen2_forward(params["llm_backbone"], arch.llm,
+                          input_ids=seq)["logits"][0])
+        for t, tok in enumerate(r.output_ids):
+            row = logits[len(p) - 1 + t]
+            assert row[tok] >= row.max() - 5e-2, (
+                t, tok, int(row.argmax()), float(row.max() - row[tok]))

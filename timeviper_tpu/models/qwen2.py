@@ -235,12 +235,20 @@ def qwen2_decode_step(
     cache: Dict[str, Any],
     position_offset: Optional[jax.Array] = None,
 ):
-    """One decode step; position = cache length (optionally offset for pdrop's
-    position shift at decode, modeling_nano.py:1666-1689)."""
+    """One decode step.
+
+    RoPE position is LOGICAL: `length - valid_from`. The prefill is
+    left-padded to a bucket (pad slots [0, valid_from) hold masked junk)
+    and applies segment-relative positions, so real tokens sit at physical
+    slots [valid_from, length) with RoPE positions [0, length-valid_from).
+    The new token writes its KV at physical slot `length` but must rotate
+    at the next logical position. (Optionally offset further for pdrop's
+    position shift at decode, modeling_nano.py:1666-1689.)"""
     hidden = jnp.take(params["embeddings"], input_ids, axis=0)
     B = hidden.shape[0]
     length = cache["length"]
-    pos = jnp.broadcast_to(length[None, None], (B, 1))
+    vf = cache.get("valid_from", jnp.zeros((), jnp.int32))
+    pos = jnp.broadcast_to((length - vf)[None, None], (B, 1))
     if position_offset is not None:
         pos = pos - position_offset
     cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)

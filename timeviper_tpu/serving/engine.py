@@ -119,6 +119,15 @@ class ServingEngine:
         from timeviper_tpu.models.generate import pick_bucket
 
         bucket = pick_bucket(plan.fused_len)
+        if bucket + req.max_new_tokens > self.max_len:
+            # decode writes KV at slots [bucket, bucket+max_new); without
+            # headroom dynamic_update_slice clamps and silently overwrites
+            # the last prompt token's KV (like vLLM, reject the request)
+            raise ValueError(
+                f"request {req.request_id}: bucket {bucket} + "
+                f"max_new_tokens {req.max_new_tokens} exceeds engine "
+                f"max_len {self.max_len}"
+            )
         pad = bucket - plan.fused_len
         gather_idx = np.concatenate(
             [np.zeros((pad,), np.int32), plan.gather_idx])
