@@ -118,3 +118,62 @@ def test_freeze_mask_keeps_frozen_params(tmp_path):
         jax.device_get(trainer.state.params["projector"]["fc1"]["kernel"]))
     np.testing.assert_array_equal(before_vis, after_vis)
     assert not np.array_equal(before_proj, after_proj)
+
+
+def test_grad_accumulation_matches_fused_step(tmp_path):
+    """A=2 accumulation over two half-batches == one fused step over the
+    full batch (grad of the mean over 2B rows equals the mean of the two
+    microbatch grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    arch = _make_arch()
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    opt = OptimConfig(learning_rate=1e-3, total_steps=2, schedule="constant")
+
+    full = _make_batches(arch, 1, batch_size=4, seed=7)[0]
+    micro = [
+        CollatedBatch(
+            batch={k: v[i * 2:(i + 1) * 2] for k, v in full.batch.items()},
+            plan=full.plan,
+        )
+        for i in range(2)
+    ]
+
+    cfg_a = TrainerConfig(run_dir=str(tmp_path / "a"), max_steps=1,
+                          save_every=100, data_parallel=1, model_parallel=1,
+                          resume=False)
+    tr_a = Trainer(arch, params, opt, cfg_a)
+    tr_a.train_step(full)
+
+    cfg_b = TrainerConfig(run_dir=str(tmp_path / "b"), max_steps=1,
+                          save_every=100, data_parallel=1, model_parallel=1,
+                          resume=False, grad_accum_steps=2)
+    tr_b = Trainer(arch, params, opt, cfg_b)
+    tr_b.train(iter(micro))
+
+    assert int(tr_b.state.step) == 1
+    flat_a = jax.tree_util.tree_leaves(tr_a.state.params)
+    flat_b = jax.tree_util.tree_leaves(tr_b.state.params)
+    for a, b in zip(flat_a, flat_b):
+        # reduction order differs (mean over 4 rows vs mean-of-means); on
+        # XLA:CPU alignment-dependent oneDNN kernels add last-bit noise —
+        # margin tolerance, never bitwise (see tests/conftest.py notes)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+def test_grad_accumulation_leftover_applies(tmp_path):
+    """3 microbatches with A=2: one full update + one leftover update."""
+    import jax
+    import jax.numpy as jnp
+
+    arch = _make_arch()
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    opt = OptimConfig(learning_rate=1e-3, total_steps=4, schedule="constant")
+    cfg = TrainerConfig(run_dir=str(tmp_path / "c"), max_steps=10,
+                        save_every=100, data_parallel=1, model_parallel=1,
+                        resume=False, grad_accum_steps=2)
+    tr = Trainer(arch, params, opt, cfg)
+    tr.train(iter(_make_batches(arch, 3)))
+    assert int(tr.state.step) == 2

@@ -146,9 +146,22 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = max(process_count, 1)
 
-    def __len__(self) -> int:
+    def _per_process_count(self) -> int:
+        """Items each process yields per epoch — identical on every process
+        (torch DistributedSampler semantics; the reference wraps its sampler
+        in DistributedProxySampler, train_utils.py:245). drop_last truncates
+        the shared permutation to a multiple of process_count*batch_size;
+        otherwise it is padded by wrapping so shards are equal-sized."""
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        pc = self.process_count
+        if self.drop_last:
+            return (n // (pc * self.batch_size)) * self.batch_size
+        return -(-n // pc)  # ceil: padding wraps the permutation
+
+    def __len__(self) -> int:
+        per = self._per_process_count()
+        return (per // self.batch_size if self.drop_last
+                else -(-per // self.batch_size))
 
     def _index_batches(self, epoch: int) -> List[List[int]]:
         idxs = np.arange(len(self.dataset))
@@ -157,6 +170,15 @@ class DataLoader:
             # process takes its stride-slice (disjoint shards)
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(idxs)
+        per = self._per_process_count()
+        total = per * self.process_count
+        if total > len(idxs):
+            # pad by wrapping (DistributedSampler padding) so every process
+            # sees exactly `per` items and yields the same batch count — an
+            # SPMD train loop hangs at the first collective otherwise
+            idxs = np.concatenate([idxs, idxs[: total - len(idxs)]])
+        else:
+            idxs = idxs[:total]
         if self.process_count > 1:
             idxs = idxs[self.process_index::self.process_count]
         batches = [

@@ -47,6 +47,7 @@ class Request:
     # filled by the engine
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None
 
 
 def _tree_insert(batched, single, slot):
@@ -267,7 +268,14 @@ class ServingEngine:
             for slot in self._free_slots():
                 if not self.queue:
                     break
-                self._prefill_into_slot(self.queue.pop(0), slot)
+                req = self.queue.pop(0)
+                try:
+                    self._prefill_into_slot(req, slot)
+                except ValueError as e:
+                    # per-request capacity failure (like vLLM's per-request
+                    # rejection, vllm_infer.py) — don't abort the batch
+                    req.done = True
+                    req.error = str(e)
             key, sub = jax.random.split(key)
             self._decode_once(sub)
         return list(requests)

@@ -42,7 +42,22 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
         return dict(load_file(path))
     assert torch is not None, "torch required to read .bin/.pt checkpoints"
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Some reference checkpoints need full unpickling (the reference
+        # forces weights_only=False globally, torch_load_patch.py:1-16).
+        # Unpickling executes arbitrary code — gate it behind an explicit
+        # opt-in so converting an untrusted file is never silently an RCE.
+        import os
+
+        if os.environ.get("TIMEVIPER_UNSAFE_TORCH_LOAD") != "1":
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True; if you "
+                "trust this checkpoint, set TIMEVIPER_UNSAFE_TORCH_LOAD=1 "
+                "(unpickling executes code from the file)"
+            )
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
     return {k: _t2n(v) for k, v in sd.items()}

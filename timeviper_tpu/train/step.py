@@ -20,7 +20,6 @@ from typing import Any, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from timeviper_tpu.data.fusion import FusionPlan
 from timeviper_tpu.models.vlm import VLMArch, vlm_loss
@@ -40,23 +39,8 @@ def init_train_state(params, tx) -> TrainState:
     )
 
 
-def make_train_step(
-    arch: VLMArch,
-    tx,
-    plan: FusionPlan,
-    *,
-    use_pdrop: bool = False,
-    remat: bool = True,
-    grad_dtype=jnp.float32,
-    donate: bool = True,
-):
-    """Returns a jittable `step(state, batch) -> (state, metrics)`.
-
-    batch: {"input_ids": (B, Lt) int32, "labels": (B, fused_len) int32,
-            "pixels": (B, F, H, W, 3) | None,
-            "visual_embeddings": (B, Nv, D) | None}
-    """
-
+def _make_loss_fn(arch: VLMArch, plan: FusionPlan, *, use_pdrop: bool,
+                  remat: bool):
     def loss_one(params, input_ids, labels, pixels, visual):
         batch = {"input_ids": input_ids, "labels": labels}
         if pixels is not None:
@@ -77,6 +61,42 @@ def make_train_step(
         )
         return losses.mean(), aux
 
+    return loss_fn
+
+
+def _grad_metrics(loss, aux, grads) -> Dict[str, Any]:
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        "n_tokens": aux["n_tokens"].sum(),
+    }
+    # per-module side-channel (HfMultiTaskTrainer report_metrics analog,
+    # reference trainer.py:277-298): grad norm per top-level module
+    for mod in ("vision_backbone", "projector", "llm_backbone",
+                "merge_modules"):
+        if isinstance(grads, dict) and mod in grads:
+            metrics[f"grad_norm/{mod}"] = optax.global_norm(grads[mod])
+    return metrics
+
+
+def make_train_step(
+    arch: VLMArch,
+    tx,
+    plan: FusionPlan,
+    *,
+    use_pdrop: bool = False,
+    remat: bool = True,
+    grad_dtype=jnp.float32,
+    donate: bool = True,
+):
+    """Returns a jittable `step(state, batch) -> (state, metrics)`.
+
+    batch: {"input_ids": (B, Lt) int32, "labels": (B, fused_len) int32,
+            "pixels": (B, F, H, W, 3) | None,
+            "visual_embeddings": (B, Nv, D) | None}
+    """
+    loss_fn = _make_loss_fn(arch, plan, use_pdrop=use_pdrop, remat=remat)
+
     def step(state: TrainState, batch: Dict[str, Any]):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch
@@ -87,32 +107,62 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "n_tokens": aux["n_tokens"].sum(),
-        }
-        # per-module side-channel (HfMultiTaskTrainer report_metrics analog,
-        # reference trainer.py:277-298): grad norm per top-level module
-        for mod in ("vision_backbone", "projector", "llm_backbone",
-                    "merge_modules"):
-            if isinstance(grads, dict) and mod in grads:
-                metrics[f"grad_norm/{mod}"] = optax.global_norm(grads[mod])
+        metrics = _grad_metrics(loss, aux, grads)
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
 
 
-def jit_train_step(step_fn, mesh, param_shardings, donate: bool = True):
-    """jit the step over a mesh: params/opt-state keep their shardings, the
-    batch shards its leading axis over `data`."""
-    state_sh = TrainState(
-        params=param_shardings,
-        opt_state=None,  # inferred: optax states mirror param shapes
-        step=NamedSharding(mesh, P()),
-    )
-    batch_sh = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        step_fn,
-        donate_argnums=(0,) if donate else (),
-    )
+# ---------------------------------------------------------------------------
+# Gradient accumulation (reference: HF Trainer gradient_accumulation_steps,
+# train.py:55-237). Split the fused step into grad / accumulate / apply so
+# each microbatch may use a DIFFERENT compiled program (different FusionPlan
+# bucket) while grads accumulate device-side into one pytree.
+# ---------------------------------------------------------------------------
+
+
+def make_grad_step(
+    arch: VLMArch,
+    plan: FusionPlan,
+    *,
+    use_pdrop: bool = False,
+    remat: bool = True,
+    grad_dtype=jnp.float32,
+):
+    """Returns `grad(params, batch) -> (metrics, grads)` (no update)."""
+    loss_fn = _make_loss_fn(arch, plan, use_pdrop=use_pdrop, remat=remat)
+
+    def grad(params, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(grad_dtype) if g.dtype == jnp.bfloat16 else g,
+            grads,
+        )
+        return _grad_metrics(loss, aux, grads), grads
+
+    return grad
+
+
+def accumulate_grads(acc, grads):
+    """Add a microbatch's grads into the accumulator (donate `acc`)."""
+    if acc is None:
+        return grads
+    return jax.tree_util.tree_map(jnp.add, acc, grads)
+
+
+def make_apply_step(tx):
+    """Returns `apply(state, grads, denom) -> (state, opt_metrics)`:
+    one optimizer update from accumulated grads (mean over microbatches)."""
+
+    def apply(state: TrainState, grads, denom: jax.Array):
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return apply
+
+

@@ -31,7 +31,13 @@ from timeviper_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from timeviper_tpu.train.optim import OptimConfig, apply_freeze, build_optimizer
-from timeviper_tpu.train.step import TrainState, init_train_state, make_train_step
+from timeviper_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_apply_step,
+    make_grad_step,
+    make_train_step,
+)
 from timeviper_tpu.utils.overwatch import initialize_overwatch
 
 overwatch = initialize_overwatch("trainer")
@@ -54,6 +60,10 @@ class TrainerConfig:
     use_pdrop: bool = False
     trainable_modules: Optional[str] = None  # comma substrings; None = all
     resume: bool = True
+    # microbatches per optimizer update (HF gradient_accumulation_steps;
+    # reference train.py:55-237). Microbatches may use different fusion-plan
+    # buckets — grads accumulate device-side across compiled programs.
+    grad_accum_steps: int = 1
 
 
 class Trainer:
@@ -91,9 +101,12 @@ class Trainer:
 
     # -- jit cache keyed by fusion plan (static shapes per plan) ---------
 
+    def _plan_key(self, plan):
+        return (plan.fused_len, plan.text_len, plan.num_visual,
+                plan.sample_layouts)
+
     def _get_step(self, plan):
-        key = (plan.fused_len, plan.text_len, plan.num_visual,
-               plan.sample_layouts)
+        key = ("fused", self._plan_key(plan))
         if key not in self._step_fns:
             step = make_train_step(
                 self.arch, self.tx, plan,
@@ -101,6 +114,31 @@ class Trainer:
             )
             self._step_fns[key] = jax.jit(step, donate_argnums=(0,))
         return self._step_fns[key]
+
+    def _get_grad(self, plan):
+        key = ("grad", self._plan_key(plan))
+        if key not in self._step_fns:
+            grad = make_grad_step(
+                self.arch, plan,
+                use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+            )
+            self._step_fns[key] = jax.jit(grad)
+        return self._step_fns[key]
+
+    def _get_accum(self):
+        if "accum" not in self._step_fns:
+            self._step_fns["accum"] = jax.jit(
+                lambda acc, g: jax.tree_util.tree_map(jnp.add, acc, g),
+                donate_argnums=(0,),
+            )
+        return self._step_fns["accum"]
+
+    def _get_apply(self):
+        if "apply" not in self._step_fns:
+            self._step_fns["apply"] = jax.jit(
+                make_apply_step(self.tx), donate_argnums=(0, 1)
+            )
+        return self._step_fns["apply"]
 
     def train_step(self, cb: CollatedBatch) -> Dict[str, float]:
         batch = {
@@ -122,46 +160,85 @@ class Trainer:
         from timeviper_tpu.data.loader import prefetch_to_device
 
         cfg = self.cfg
-        accum: Dict[str, float] = {}
-        n_accum = 0
+        A = max(1, cfg.grad_accum_steps)
+        # step counter tracked on the HOST (it advances by 1 per optimizer
+        # update); fetching device scalars every step would sync and defeat
+        # the double-buffered prefetch. Metrics are fetched only at
+        # log_every boundaries.
+        step_i = int(self.state.step)
+        pending: list = []  # device-side metric dicts awaiting one fetch
+        grads_acc = None
+        n_micro = 0
         t_log = time.perf_counter()
+
+        def flush_log():
+            nonlocal pending, t_log
+            if not pending:
+                return
+            vals = [
+                {k: float(np.asarray(v)) for k, v in m.items()
+                 if not k.startswith("grad_norm/")}
+                for m in pending
+            ]
+            n = len(vals)
+            dt = time.perf_counter() - t_log
+            loss = sum(v.get("loss", 0.0) for v in vals) / max(
+                sum("loss" in v for v in vals), 1)
+            gnorm = sum(v.get("grad_norm", 0.0) for v in vals) / n
+            overwatch.info(
+                f"step {step_i} | loss {loss:.4f} | gnorm {gnorm:.3f} "
+                f"| {dt / max(n, 1):.2f}s/it"
+            )
+            pending = []
+            t_log = time.perf_counter()
+
         try:
             # double-buffered host->device feed: the next batch's copy
             # overlaps the current step's compute
             for batch, plan in prefetch_to_device(
                 iter(batches), self.batch_sharding
             ):
-                step_i = int(self.state.step)
                 if step_i >= cfg.max_steps:
                     break
-                metrics = self._device_step(batch, plan)
-                # metrics fetch forces completion (host sync point)
-                loss = float(np.asarray(metrics["loss"]))
-                accum["loss"] = accum.get("loss", 0.0) + loss
-                accum["grad_norm"] = accum.get("grad_norm", 0.0) + float(
-                    np.asarray(metrics["grad_norm"]))
-                n_accum += 1
-                step_i += 1
+                if A == 1:
+                    metrics = self._device_step(batch, plan)
+                    pending.append(metrics)
+                    step_i += 1
+                else:
+                    grad_fn = self._get_grad(plan)
+                    with self.mesh:
+                        metrics, grads = grad_fn(self.state.params, batch)
+                        grads_acc = (
+                            grads if grads_acc is None
+                            else self._get_accum()(grads_acc, grads)
+                        )
+                    pending.append(metrics)
+                    n_micro += 1
+                    if n_micro < A:
+                        continue
+                    with self.mesh:
+                        self.state, _ = self._get_apply()(
+                            self.state, grads_acc, float(A))
+                    grads_acc, n_micro = None, 0
+                    step_i += 1
 
-                if step_i % cfg.log_every == 0 and n_accum:
-                    dt = time.perf_counter() - t_log
-                    overwatch.info(
-                        f"step {step_i} | loss {accum['loss'] / n_accum:.4f} "
-                        f"| gnorm {accum['grad_norm'] / n_accum:.3f} "
-                        f"| {dt / n_accum:.2f}s/step"
-                    )
-                    accum, n_accum = {}, 0
-                    t_log = time.perf_counter()
-
+                if step_i % cfg.log_every == 0:
+                    flush_log()
                 if step_i % cfg.save_every == 0:
                     path = save_checkpoint(
                         cfg.run_dir, step_i, self.state,
                         keep=cfg.keep_checkpoints,
                     )
                     overwatch.info(f"saved {path}")
+            # leftover microbatches at data end still update once
+            if grads_acc is not None and n_micro:
+                with self.mesh:
+                    self.state, _ = self._get_apply()(
+                        self.state, grads_acc, float(n_micro))
+                step_i += 1
+            flush_log()
         except Exception:
             # crash-save (reference train.py:515-528)
-            step_i = int(self.state.step)
             overwatch.error(f"exception at step {step_i}; emergency save")
             save_checkpoint(cfg.run_dir, step_i, self.state,
                             keep=cfg.keep_checkpoints + 1)
