@@ -40,6 +40,12 @@ class FusionPlan:
     # per-sample pdrop layout: (vision_start, num_vision, text_suffix)
     sample_layouts: Tuple[Tuple[int, int, int], ...]
 
+    @property
+    def cache_key(self):
+        """Hashable identity for jit-program caches."""
+        return (self.fused_len, self.text_len, self.num_visual,
+                self.sample_layouts)
+
 
 def plan_fusion(
     input_ids: Sequence[int],
@@ -107,6 +113,60 @@ def plan_fusion(
         position_ids=np.asarray(pos, np.int32),
         sample_layouts=tuple(layouts),
     )
+
+
+@dataclass(frozen=True)
+class HeteroPlan:
+    """Static SHAPE bundle for a heterogeneous batch: rows carry their own
+    (traced) gather/segment arrays, only the padded dims are compile-time.
+
+    Lifts the reference's per-row ragged splicing (generic_vlm.py:517-564,
+    data.py:598-671) into a bucket: rows with different image-token layouts
+    batch together; each row's fusion plan travels as data (`gather_idx`,
+    `seq_idx` arrays in the batch dict), so ONE compiled program serves
+    every layout mix at these dims.
+    """
+
+    fused_len: int
+    text_len: int
+    num_visual: int  # padded flat visual-token capacity (frames * tpf)
+    num_frames: int  # padded frame capacity
+
+    @property
+    def cache_key(self):
+        return self
+
+    # make_pdrop_spec needs static layouts; hetero rows have none
+    sample_layouts: Tuple = ()
+
+
+def pad_row_plan(
+    plan: FusionPlan,
+    text_len: int,
+    fused_len: int,
+    num_visual: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Remap one row's plan into the padded batch coordinate system.
+
+    Returns (gather_idx (fused_len,), seq_idx (fused_len,)): visual indices
+    shift from `plan.text_len` to `text_len` base; the pad tail points at
+    text slot 0 under a fresh segment id, so SSD state resets and attention
+    segment-masks isolate it (pads are trailing — nothing real follows).
+    """
+    g = plan.gather_idx.astype(np.int64)
+    g = np.where(plan.is_visual, g - plan.text_len + text_len, g)
+    seq = (
+        plan.seq_idx.astype(np.int64)
+        if plan.seq_idx is not None
+        else np.zeros((plan.fused_len,), np.int64)
+    )
+    pad = fused_len - plan.fused_len
+    assert pad >= 0 and text_len >= plan.text_len
+    assert num_visual >= plan.num_visual
+    if pad:
+        g = np.concatenate([g, np.zeros((pad,), np.int64)])
+        seq = np.concatenate([seq, np.full((pad,), seq.max() + 1)])
+    return g.astype(np.int32), seq.astype(np.int32)
 
 
 def fuse_labels(plan: FusionPlan, labels: Sequence[int]) -> np.ndarray:

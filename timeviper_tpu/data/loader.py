@@ -23,7 +23,13 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from timeviper_tpu.data.datasets import IGNORE_INDEX
-from timeviper_tpu.data.fusion import FusionPlan, fuse_labels, plan_fusion
+from timeviper_tpu.data.fusion import (
+    FusionPlan,
+    HeteroPlan,
+    fuse_labels,
+    pad_row_plan,
+    plan_fusion,
+)
 
 
 def pad_to(x: np.ndarray, length: int, value) -> np.ndarray:
@@ -45,27 +51,36 @@ def collate(
     tokens_per_frame: int,
     pad_token_id: int = 0,
 ) -> CollatedBatch:
-    """Stack items into a batch sharing one FusionPlan.
+    """Stack items into a batch.
 
-    Items must have identical input_ids length & frame count (the packed
-    training regime); the plan is computed from row 0.
+    Rows sharing one fusion layout (the packed training regime: fixed
+    pack_size / frame budget) take the fast static-plan path. Rows with
+    DIFFERENT layouts (variable-length packed rows, mixed frame counts —
+    the reference's ragged splicing, generic_vlm.py:517-564) fall back to
+    :func:`collate_hetero`: everything padded to bucket maxima with the
+    per-row plan shipped as batch arrays.
     """
-    first = items[0]
-    txt_seq_lens = first.get("txt_seq_lens")
-    plan = plan_fusion(
-        first["input_ids"], image_token_id, tokens_per_frame, txt_seq_lens
+    plans = [
+        plan_fusion(it["input_ids"], image_token_id, tokens_per_frame,
+                    it.get("txt_seq_lens"))
+        for it in items
+    ]
+    p0 = plans[0]
+    homogeneous = all(
+        p.text_len == p0.text_len
+        and np.array_equal(p.gather_idx, p0.gather_idx)
+        for p in plans[1:]
     )
+    if not homogeneous:
+        return collate_hetero(items, plans, image_token_id, pad_token_id)
+
     ids, labels, pixels = [], [], []
     for it in items:
-        assert len(it["input_ids"]) == plan.text_len, (
-            "all rows in a batch must share the fusion layout",
-            len(it["input_ids"]), plan.text_len,
-        )
         row_ids = np.where(
             it["input_ids"] == image_token_id, pad_token_id, it["input_ids"]
         ).astype(np.int32)
         ids.append(row_ids)
-        labels.append(fuse_labels(plan, it["labels"]))
+        labels.append(fuse_labels(p0, it["labels"]))
         if it.get("pixels") is not None:
             pixels.append(it["pixels"])
     batch = {
@@ -74,6 +89,66 @@ def collate(
     }
     if pixels:
         batch["pixels"] = np.stack(pixels)
+    return CollatedBatch(batch=batch, plan=p0)
+
+
+def collate_hetero(
+    items: Sequence[Dict[str, Any]],
+    plans: Sequence[FusionPlan],
+    image_token_id: int,
+    pad_token_id: int = 0,
+) -> CollatedBatch:
+    """Bucket-pad rows with different fusion layouts into one batch.
+
+    Per-row `gather_idx` / `seq_idx` travel as data; pads live in a fresh
+    trailing segment (SSD resets, attention segment-masks) with IGNORE
+    labels, so they contribute nothing to loss or real-token state.
+    """
+    text_len = max(p.text_len for p in plans)
+    fused_len = max(p.fused_len for p in plans)
+    num_visual = max(p.num_visual for p in plans)
+    frame_counts = [
+        (it["pixels"].shape[0] if it.get("pixels") is not None else 0)
+        for it in items
+    ]
+    num_frames = max(frame_counts)
+    frame_shape = next(
+        (tuple(it["pixels"].shape[1:]) for it, fc in zip(items, frame_counts)
+         if fc), None,
+    )
+
+    ids, labels, gathers, seqs, pixels = [], [], [], [], []
+    for it, plan, fc in zip(items, plans, frame_counts):
+        row_ids = np.where(
+            np.asarray(it["input_ids"]) == image_token_id, pad_token_id,
+            it["input_ids"],
+        ).astype(np.int32)
+        ids.append(pad_to(row_ids, text_len, pad_token_id))
+        labels.append(
+            pad_to(fuse_labels(plan, it["labels"]), fused_len, IGNORE_INDEX))
+        g, s = pad_row_plan(plan, text_len, fused_len, num_visual)
+        gathers.append(g)
+        seqs.append(s)
+        if num_frames:
+            px = it.get("pixels")
+            if px is None or fc == 0:
+                px = np.zeros((num_frames,) + frame_shape, np.float32)
+            elif fc < num_frames:
+                px = np.concatenate([
+                    px, np.zeros((num_frames - fc,) + frame_shape, px.dtype)])
+            pixels.append(px)
+    batch = {
+        "input_ids": np.stack(ids),
+        "labels": np.stack(labels).astype(np.int32),
+        "gather_idx": np.stack(gathers),
+        "seq_idx": np.stack(seqs),
+    }
+    if num_frames:
+        batch["pixels"] = np.stack(pixels)
+    plan = HeteroPlan(
+        fused_len=fused_len, text_len=text_len, num_visual=num_visual,
+        num_frames=num_frames,
+    )
     return CollatedBatch(batch=batch, plan=plan)
 
 

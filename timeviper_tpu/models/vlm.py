@@ -263,6 +263,49 @@ def vlm_forward(
     return out
 
 
+def vlm_forward_dynamic(
+    params: Dict[str, Any],
+    arch: VLMArch,
+    *,
+    input_ids: jax.Array,  # (Lt,) padded text row
+    gather_idx: jax.Array,  # (fused_len,) traced per-row fusion plan
+    seq_idx: jax.Array,  # (fused_len,) segment ids (pads = own segment)
+    pixels: Optional[jax.Array] = None,  # (num_frames, H, W, 3) padded
+    visual_embeddings: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,
+    remat: bool = False,
+):
+    """Forward where the fusion plan is DATA, not compile-time constants.
+
+    Backs heterogeneous batches (data/loader.py collate_hetero): rows with
+    different image-token layouts share one compiled program at the bucket
+    dims; only shapes are static. Pads sit in a trailing fresh segment —
+    SSD seq_idx resets and attention segment-masking keep them inert
+    (the reference splices raggedly per row instead, generic_vlm.py:517-564).
+    """
+    if visual_embeddings is None and pixels is not None:
+        ve = encode_visual(params, arch, pixels)
+        visual_embeddings = ve.reshape(-1, ve.shape[-1])
+    if visual_embeddings is None:
+        visual_embeddings = jnp.zeros(
+            (0, arch.llm.hidden_size),
+            params["llm_backbone"]["embeddings"].dtype)
+    emb_table = params["llm_backbone"]["embeddings"]
+    text = jnp.take(emb_table, input_ids, axis=0)
+    src = jnp.concatenate([text, visual_embeddings.astype(text.dtype)], axis=0)
+    fused = jnp.take(src, gather_idx, axis=0)[None]
+    labels_arr = labels[None] if labels is not None else None
+    fwd = (nano_mod.nano_forward if arch.llm_family == "nano"
+           else qwen2_mod.qwen2_forward)
+    return fwd(
+        params["llm_backbone"], arch.llm,
+        inputs_embeds=fused,
+        seq_idx=seq_idx[None],
+        labels=labels_arr,
+        remat=remat,
+    )
+
+
 def vlm_loss(
     params: Dict[str, Any],
     arch: VLMArch,
@@ -274,15 +317,30 @@ def vlm_loss(
     """Shifted cross-entropy over the fused row (modeling_nano.py:2436-2446).
 
     batch: {"input_ids": (Lt,), "pixels": (F,H,W,3) | None,
-            "labels": (fused_len,)}.
+            "labels": (fused_len,)}; heterogeneous rows additionally carry
+    "gather_idx"/"seq_idx" (traced plans) and dispatch to
+    :func:`vlm_forward_dynamic`.
     """
-    out = vlm_forward(
-        params, arch,
-        input_ids=batch["input_ids"], plan=plan,
-        pixels=batch.get("pixels"),
-        visual_embeddings=batch.get("visual_embeddings"),
-        labels=batch["labels"], remat=remat, use_pdrop=use_pdrop,
-    )
+    if "gather_idx" in batch:
+        assert not use_pdrop, (
+            "pdrop needs static sample layouts; use homogeneous batches")
+        out = vlm_forward_dynamic(
+            params, arch,
+            input_ids=batch["input_ids"],
+            gather_idx=batch["gather_idx"],
+            seq_idx=batch["seq_idx"],
+            pixels=batch.get("pixels"),
+            visual_embeddings=batch.get("visual_embeddings"),
+            labels=batch["labels"], remat=remat,
+        )
+    else:
+        out = vlm_forward(
+            params, arch,
+            input_ids=batch["input_ids"], plan=plan,
+            pixels=batch.get("pixels"),
+            visual_embeddings=batch.get("visual_embeddings"),
+            labels=batch["labels"], remat=remat, use_pdrop=use_pdrop,
+        )
     logits = out["logits"]
     labels = out["labels"]
     shift_logits = logits[:, :-1]

@@ -41,24 +41,14 @@ def init_train_state(params, tx) -> TrainState:
 
 def _make_loss_fn(arch: VLMArch, plan: FusionPlan, *, use_pdrop: bool,
                   remat: bool):
-    def loss_one(params, input_ids, labels, pixels, visual):
-        batch = {"input_ids": input_ids, "labels": labels}
-        if pixels is not None:
-            batch["pixels"] = pixels
-        if visual is not None:
-            batch["visual_embeddings"] = visual
-        return vlm_loss(params, arch, batch, plan, remat=remat,
-                        use_pdrop=use_pdrop)
-
     def loss_fn(params, batch):
-        pixels = batch.get("pixels")
-        visual = batch.get("visual_embeddings")
-        in_axes = (None, 0, 0,
-                   0 if pixels is not None else None,
-                   0 if visual is not None else None)
-        losses, aux = jax.vmap(loss_one, in_axes=in_axes)(
-            params, batch["input_ids"], batch["labels"], pixels, visual
-        )
+        # vmap the whole row dict over its leading batch axis; extra
+        # entries (gather_idx/seq_idx for heterogeneous buckets) ride along
+        def loss_one(row):
+            return vlm_loss(params, arch, row, plan, remat=remat,
+                            use_pdrop=use_pdrop)
+
+        losses, aux = jax.vmap(loss_one)(batch)
         return losses.mean(), aux
 
     return loss_fn

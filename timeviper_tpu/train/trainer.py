@@ -102,8 +102,7 @@ class Trainer:
     # -- jit cache keyed by fusion plan (static shapes per plan) ---------
 
     def _plan_key(self, plan):
-        return (plan.fused_len, plan.text_len, plan.num_visual,
-                plan.sample_layouts)
+        return plan.cache_key  # FusionPlan tuple | HeteroPlan (hashable)
 
     def _get_step(self, plan):
         key = ("fused", self._plan_key(plan))
