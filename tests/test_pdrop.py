@@ -158,3 +158,168 @@ def test_generation_with_pdrop():
     out2 = gen.generate([5, img, img, 9, 10, 11], pixels=pixels,
                         image_token_id=img, use_pdrop=False)
     assert out2.num_generated == 4
+
+
+def _attn_cfg(pdrop="attn_0_0.5"):
+    return tiny_nano_config(
+        use_pdrop=True, pdrop_type=pdrop, merge_module="CrossAttention",
+    )
+
+
+def test_dynamic_stage_matches_static_uni_and_attn():
+    """Traced-layout (bucketed-prefill) stage == static-layout stage."""
+    from timeviper_tpu.models.nano import init_attention_mixer
+    from timeviper_tpu.models.pdrop import PdropSampleSpec, PdropSpec
+
+    for ptype, alpha in [("uni_0_0.5", 0.7), ("attn_0_0.5", 0.0),
+                         ("attn_0_0.25", 1.3)]:
+        cfg = _attn_cfg(ptype)
+        stage = cfg.pdrop_stages[0]
+        attn_params = init_attention_mixer(
+            jax.random.PRNGKey(3), cfg, jnp.float32)
+        merge = init_merge_modules(jax.random.PRNGKey(1), cfg, jnp.float32)
+        merge = [dict(m, alpha=jnp.asarray(alpha)) if m else m for m in merge]
+        D = cfg.hidden_size
+        L = 3 + 8 + 4
+        hidden = jax.random.normal(jax.random.PRNGKey(2), (1, L, D))
+        labels = jnp.asarray([[-100] * (L - 3) + [7, 8, 2]])
+        seq = jnp.zeros((1, L), jnp.int32)
+
+        spec_s = make_pdrop_spec([(3, 8, 4)], cfg.pdrop_stages,
+                                 query_positions=[L - 1])
+        h_s, l_s, s_s, sp_s = apply_pdrop_stage(
+            hidden, labels, seq, spec_s, stage, 0, cfg=cfg,
+            attn_params=attn_params, merge_params=merge,
+        )
+
+        spec_d = PdropSpec(
+            samples=(PdropSampleSpec(
+                vision_start=jnp.asarray(3, jnp.int32), num_vision=8,
+                text_suffix=-1, query_pos=jnp.asarray(L - 1, jnp.int32)),),
+            orig_num_vision=(8,), ratios=spec_s.ratios,
+        )
+        h_d, l_d, s_d, sp_d = apply_pdrop_stage(
+            hidden, labels, seq, spec_d, stage, 0, cfg=cfg,
+            attn_params=attn_params, merge_params=merge,
+        )
+        np.testing.assert_allclose(
+            np.asarray(h_d), np.asarray(h_s), rtol=1e-5, atol=1e-6,
+            err_msg=ptype)
+        np.testing.assert_array_equal(np.asarray(l_d), np.asarray(l_s))
+        np.testing.assert_array_equal(np.asarray(s_d), np.asarray(s_s))
+        assert sp_d.samples[0].num_vision == sp_s.samples[0].num_vision
+
+
+def test_bucketed_pdrop_prefill_pad_invariant():
+    """Left-padding to a bucket must not change pdrop prefill logits."""
+    from timeviper_tpu.data.fusion import FusionPlan
+
+    llm = tiny_nano_config(
+        use_pdrop=True, pdrop_type="uni_2_0.5", merge_module="CrossAttention",
+    )
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-4"),
+        vision=tiny_vit_config(), llm=llm, llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    img = 500
+    ids = [5, img, img, 9, 10, 11]
+    plan = plan_fusion(ids, img, arch.tokens_per_frame)
+    pixels = jax.random.normal(jax.random.PRNGKey(1), (2, 28, 28, 3))
+    ids_arr = jnp.asarray(np.where(np.asarray(ids) == img, 0, ids), jnp.int32)
+
+    out_exact = vlm_forward(
+        params, arch, input_ids=ids_arr, plan=plan, pixels=pixels,
+        use_pdrop=True,
+        pdrop_vision_start=jnp.asarray(1, jnp.int32),
+        pdrop_query_pos=jnp.asarray(plan.fused_len - 1, jnp.int32),
+    )
+    pad = 5
+    g = np.concatenate([np.zeros((pad,), np.int32), plan.gather_idx])
+    seq = np.concatenate([np.full((pad,), -1, np.int32),
+                          np.zeros((plan.fused_len,), np.int32)])
+    plan_p = FusionPlan(
+        fused_len=plan.fused_len + pad, text_len=plan.text_len,
+        num_visual=plan.num_visual, gather_idx=g, is_visual=None,
+        seq_idx=seq, position_ids=None, sample_layouts=(),
+    )
+    out_pad = vlm_forward(
+        params, arch, input_ids=ids_arr, plan=plan_p, pixels=pixels,
+        use_pdrop=True,
+        pdrop_vision_start=jnp.asarray(1 + pad, jnp.int32),
+        pdrop_query_pos=jnp.asarray(plan.fused_len + pad - 1, jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_exact["logits"][:, -1]),
+        np.asarray(out_pad["logits"][:, -1]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_pdrop_vmapped_batch_rows():
+    """B>1 pdrop training (the reference's pdrop_no_pack batched case,
+    modeling_nano.py:1779): vmapped rows == mean of per-row losses."""
+    from timeviper_tpu.models.vlm import vlm_loss
+    from timeviper_tpu.train.step import _make_loss_fn
+
+    llm = tiny_nano_config(
+        use_pdrop=True, pdrop_type="attn_3_0.5", merge_module="CrossAttention",
+    )
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-4"),
+        vision=tiny_vit_config(), llm=llm, llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    img = 500
+    ids = [5, img, img, 9, 10, 11, 12]
+    plan = plan_fusion(ids, img, arch.tokens_per_frame)
+    ids_arr = np.where(np.asarray(ids) == img, 0, ids).astype(np.int32)
+    from timeviper_tpu.data.fusion import fuse_labels
+
+    labels = fuse_labels(plan, [-100] * 4 + [10, 11, 12]).astype(np.int32)
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, 2, 28, 28, 3)).astype(np.float32)
+
+    batch = {
+        "input_ids": jnp.asarray(np.stack([ids_arr, ids_arr])),
+        "labels": jnp.asarray(np.stack([labels, labels])),
+        "pixels": jnp.asarray(pixels),
+    }
+    loss_fn = _make_loss_fn(arch, plan, use_pdrop=True, remat=False)
+    batch_loss, _ = loss_fn(params, batch)
+
+    per = []
+    for b in range(2):
+        row = {k: v[b] for k, v in batch.items()}
+        loss, _ = vlm_loss(params, arch, row, plan, remat=False,
+                           use_pdrop=True)
+        per.append(float(loss))
+    np.testing.assert_allclose(float(batch_loss), np.mean(per),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bucketed_pdrop_generation_shares_executable():
+    """Two pdrop prompts with different lengths (same frame count) must
+    reuse ONE compiled prefill (the round-1 path recompiled per length)."""
+    from timeviper_tpu.models.generate import _EXECUTABLE_CACHE, Generator
+
+    llm = tiny_nano_config(
+        use_pdrop=True, pdrop_type="uni_2_0.5", merge_module="CrossAttention",
+    )
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-4"),
+        vision=tiny_vit_config(), llm=llm, llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    gen = Generator(params, arch, terminator_ids=[-2], pad_token_id=0,
+                    max_new_tokens=2, cache_dtype=jnp.float32)
+    img = 500
+    pixels = np.random.default_rng(0).random((2, 28, 28, 3)).astype(np.float32)
+    before = {k for k in _EXECUTABLE_CACHE if k[0] == "prefill_pdrop"}
+    out1 = gen.generate([5, img, img, 9, 10, 11], pixels=pixels,
+                        image_token_id=img, use_pdrop=True)
+    out2 = gen.generate([5, 6, 7, 8, img, img, 9, 10, 11, 12, 13],
+                        pixels=pixels, image_token_id=img, use_pdrop=True)
+    after = {k for k in _EXECUTABLE_CACHE if k[0] == "prefill_pdrop"}
+    assert out1.num_generated == 2 and out2.num_generated == 2
+    assert len(after - before) == 1, (after - before)

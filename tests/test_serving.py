@@ -110,16 +110,17 @@ def test_continuous_batching_qwen2_family():
     params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
     prompts = [[5 + i, 6, 7, 8] for i in range(3)]
     # max_len must cover bucket(128) + max_new; an undersized engine
-    # rejects the request instead of silently corrupting KV
-    import pytest as _pytest
-
+    # rejects the REQUEST (marks it failed) without aborting the batch —
+    # like the reference vLLM path's per-request failures
     bad = ServingEngine(
         params, arch, terminator_ids=[2], num_slots=2, max_len=128,
         max_new_tokens=4, cache_dtype=jnp.float32, steps_per_sync=2,
     )
-    with _pytest.raises(ValueError, match="exceeds engine max_len"):
-        bad.run([Request(request_id=0, input_ids=prompts[0],
-                         max_new_tokens=4)])
+    rejected = bad.run([Request(request_id=0, input_ids=prompts[0],
+                                max_new_tokens=4)])
+    assert rejected[0].done
+    assert rejected[0].error and "exceeds engine max_len" in rejected[0].error
+    assert rejected[0].output_ids == []
     eng = ServingEngine(
         params, arch, terminator_ids=[2], num_slots=2, max_len=256,
         max_new_tokens=4, cache_dtype=jnp.float32, steps_per_sync=2,

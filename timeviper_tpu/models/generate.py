@@ -107,23 +107,25 @@ class Generator:
 
     # -- prefill ---------------------------------------------------------
 
-    def _get_prefill(self, bucket_len: int, layouts, cache_len: int, use_pdrop,
-                     qpos):
-        key = ("prefill", repr(self.arch), bucket_len, layouts, cache_len,
-               use_pdrop, qpos)
+    def _get_prefill(self, bucket_len: int, cache_len: int):
+        """Non-pdrop prefill: keyed on bucket dims ONLY — prompt layout is
+        traced data (gather/seq arrays), so any prompt at these dims shares
+        one executable (per-prompt layouts in the key caused a recompile
+        per prompt length in round 1)."""
+        key = ("prefill", repr(self.arch), bucket_len, cache_len)
 
         def make():
-            def prefill(params, input_ids, gather_idx, seq_idx, visual, valid_from):
-                plan_len = bucket_len
+            def prefill(params, input_ids, gather_idx, seq_idx, visual,
+                        valid_from):
                 plan = FusionPlan(
-                    fused_len=plan_len,
+                    fused_len=bucket_len,
                     text_len=input_ids.shape[0],
                     num_visual=visual.shape[0],
                     gather_idx=gather_idx,
                     is_visual=None,
                     seq_idx=seq_idx,
                     position_ids=None,
-                    sample_layouts=layouts,
+                    sample_layouts=(),
                 )
                 out = vlm_forward(
                     params, self.arch,
@@ -132,12 +134,48 @@ class Generator:
                     visual_embeddings=visual,
                     fill_cache=True,
                     cache_max_len=cache_len,
-                    use_pdrop=use_pdrop,
-                    pdrop_query_positions=qpos,
                     valid_from=valid_from,
                 )
-                last_logits = out["logits"][:, -1]
-                return last_logits, out["cache"]
+                return out["logits"][:, -1], out["cache"]
+
+            return prefill
+
+        return cached_jit(key, make)
+
+    def _get_prefill_pdrop(self, bucket_len: int, cache_len: int,
+                           num_visual: int):
+        """Bucketed pdrop prefill: layout arrives as traced scalars
+        (vision_start, query_pos); only num_visual (keep-count schedule) is
+        compile-time. One executable per (bucket, frame count)."""
+        key = ("prefill_pdrop", repr(self.arch), bucket_len, cache_len,
+               num_visual)
+
+        def make():
+            def prefill(params, input_ids, gather_idx, seq_idx, visual,
+                        valid_from, vision_start, query_pos):
+                plan = FusionPlan(
+                    fused_len=bucket_len,
+                    text_len=input_ids.shape[0],
+                    num_visual=num_visual,
+                    gather_idx=gather_idx,
+                    is_visual=None,
+                    seq_idx=seq_idx,
+                    position_ids=None,
+                    sample_layouts=(),
+                )
+                out = vlm_forward(
+                    params, self.arch,
+                    input_ids=input_ids,
+                    plan=plan,
+                    visual_embeddings=visual,
+                    fill_cache=True,
+                    cache_max_len=cache_len,
+                    use_pdrop=True,
+                    pdrop_vision_start=vision_start,
+                    pdrop_query_pos=query_pos,
+                    valid_from=valid_from,
+                )
+                return out["logits"][:, -1], out["cache"]
 
             return prefill
 
@@ -210,9 +248,7 @@ class Generator:
         nv = visual.shape[0] if visual is not None else 0
         assert plan.num_visual == nv, (plan.num_visual, nv)
 
-        # pdrop rebuilds seq_idx per stage and would fold pad slots into
-        # sample 0, so pdrop runs unbucketed (exact length)
-        bucket = plan.fused_len if use_pdrop else pick_bucket(plan.fused_len)
+        bucket = pick_bucket(plan.fused_len)
         pad = bucket - plan.fused_len
         # left-pad: pad slots index a pad text token; segment id -1
         gather_idx = np.concatenate(
@@ -224,29 +260,37 @@ class Generator:
         ids_arr = np.where(ids_arr == (image_token_id if image_token_id is not None else -1),
                            self.pad_token_id, ids_arr)
 
-        layouts = tuple(
-            (vs + (pad if i == 0 else 0), nvv, ts)
-            for i, (vs, nvv, ts) in enumerate(plan.sample_layouts)
-        )
-        qpos = None
-        if use_pdrop:
-            # inference attn-ranking query: last prompt token of the sample
-            qpos = tuple(
-                vs + nvv + ts - 1 for (vs, nvv, ts) in layouts
-            )
-
         cache_len = bucket + self.max_new_tokens
-        prefill = self._get_prefill(bucket, layouts, cache_len, use_pdrop, qpos)
         if visual is None:
             visual = jnp.zeros((0, self.arch.llm.hidden_size), self.cache_dtype)
-        first_logits, cache = prefill(
-            self.params,
-            jnp.asarray(ids_arr),
-            jnp.asarray(gather_idx),
-            jnp.asarray(seq_idx),
-            visual,
-            pad,
-        )
+        if use_pdrop:
+            # bucketed pdrop: layout as traced scalars (dynamic stage path)
+            assert len(plan.sample_layouts) == 1, (
+                "pdrop generation is single-sample (packed rows train-only)")
+            vs, _, _ = plan.sample_layouts[0]
+            prefill = self._get_prefill_pdrop(
+                bucket, cache_len, plan.num_visual)
+            first_logits, cache = prefill(
+                self.params,
+                jnp.asarray(ids_arr),
+                jnp.asarray(gather_idx),
+                jnp.asarray(seq_idx),
+                visual,
+                pad,
+                jnp.asarray(pad + vs, jnp.int32),
+                # attn-ranking query: last prompt token (bucket coords)
+                jnp.asarray(bucket - 1, jnp.int32),
+            )
+        else:
+            prefill = self._get_prefill(bucket, cache_len)
+            first_logits, cache = prefill(
+                self.params,
+                jnp.asarray(ids_arr),
+                jnp.asarray(gather_idx),
+                jnp.asarray(seq_idx),
+                visual,
+                pad,
+            )
         decode = self._get_decode()
         out, n = decode(self.params, first_logits, cache,
                         jax.random.PRNGKey(rng_seed))

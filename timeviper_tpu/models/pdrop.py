@@ -23,6 +23,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from timeviper_tpu.config import PdropStage
 from timeviper_tpu.ops.attention import cross_attention
@@ -154,6 +155,85 @@ def _merge_dropped(
     return text_feats + jnp.tanh(alpha) * out
 
 
+def _keep_indices(stage, spec, samp, sample_hidden, sample_labels, keep,
+                  cur_nv, *, cfg, attn_params):
+    """Ranked keep indices (sorted, static count `keep`) for one sample."""
+    if stage.compress_type == "uni":
+        lin = jnp.linspace(0, cur_nv - 1, keep)
+        return jnp.asarray(lin, jnp.int32)
+    if stage.compress_type == "attn":
+        if samp.query_pos is not None:
+            qpos = samp.query_pos
+        else:
+            assert sample_labels is not None, "training attn-pdrop needs labels"
+            qpos = _training_query_pos(sample_labels)
+        scores = _rank_scores_attn(
+            sample_hidden, attn_params, cfg, qpos, samp.vision_start, cur_nv
+        )
+        _, keep_idx = jax.lax.top_k(scores, keep)
+        return jnp.sort(keep_idx)
+    raise NotImplementedError(stage.compress_type)
+
+
+def _apply_stage_dynamic(
+    hidden, labels, seq_idx, spec, stage, stage_idx, *, cfg, attn_params,
+    stage_merge,
+):
+    """Single-sample pdrop stage where the layout is TRACED data.
+
+    Backs *bucketed* pdrop prefill: `vision_start`/`query_pos` are scalar
+    arrays, only `num_vision`/keep counts are static — one compiled program
+    per (bucket, frame-count) instead of one per exact prompt layout
+    (the eval-recompile problem, reference modeling_nano.py:1876-1958).
+    Compaction is a single gather with a computed source map: positions
+    inside the (traced-start, static-size) vision window pull the kept
+    tokens, positions after it shift left by the static drop count.
+    """
+    samp = spec.samples[0]
+    L = hidden.shape[1]
+    cur_nv = samp.num_vision
+    keep = min(int(spec.orig_num_vision[0] * spec.ratios[stage_idx + 1]),
+               cur_nv)
+    vs = samp.vision_start  # traced scalar
+    h = hidden[0]
+    sl = labels[0] if labels is not None else None
+
+    keep_idx = _keep_indices(stage, spec, samp, h, sl, keep, cur_nv,
+                             cfg=cfg, attn_params=attn_params)
+    n_drop = cur_nv - keep
+    L_new = L - n_drop
+
+    idx = jnp.arange(L_new)
+    rel = idx - vs
+    in_vis = (rel >= 0) & (rel < keep)
+    kept_src = vs + jnp.take(keep_idx, jnp.clip(rel, 0, max(keep - 1, 0)))
+    src = jnp.where(in_vis, kept_src,
+                    jnp.where(rel >= keep, idx + n_drop, idx))
+
+    new_h = jnp.take(h, src, axis=0)
+    new_labels = (jnp.take(labels[0], src, axis=0)[None]
+                  if labels is not None else None)
+    new_seq = (jnp.take(seq_idx[0], src, axis=0)[None]
+               if seq_idx is not None else None)
+
+    if stage_merge is not None and n_drop > 0:
+        vision = jax.lax.dynamic_slice_in_dim(h, vs, cur_nv, axis=0)
+        kept_mask = jnp.zeros((cur_nv,), jnp.int32).at[keep_idx].set(1)
+        dropped_idx = jnp.argsort(kept_mask, stable=True)[:n_drop]
+        dropped = jnp.take(vision, jnp.sort(dropped_idx), axis=0)
+        # cross-attend ALL positions, then blend only the text suffix
+        merged = _merge_dropped(new_h, dropped, stage_merge, cfg)
+        suffix = (jnp.arange(L_new) >= vs + keep)[:, None]
+        new_h = jnp.where(suffix, merged, new_h)
+
+    new_qp = samp.query_pos - n_drop if samp.query_pos is not None else None
+    new_spec = replace(
+        spec,
+        samples=(replace(samp, num_vision=keep, query_pos=new_qp),),
+    )
+    return new_h[None], new_labels, new_seq, new_spec
+
+
 def apply_pdrop_stage(
     hidden: jax.Array,  # (1, L, D)
     labels: Optional[jax.Array],  # (1, L) or None
@@ -169,8 +249,21 @@ def apply_pdrop_stage(
     """Run one pdrop stage over every sample in the packed row.
 
     Returns (hidden, labels, seq_idx, new_spec) with the new static length.
+    Batches of rows are handled by vmapping the caller (train/step.py) —
+    this operates on one (possibly packed) row, like the reference's
+    pdrop_pack; B>1 unpacked rows are vmapped rows here (the reference's
+    pdrop_no_pack, modeling_nano.py:1779).
     """
     assert hidden.shape[0] == 1, "pdrop operates on packed batch=1 rows"
+    stage_merge_shared = None
+    if merge_params is not None and stage_idx < len(merge_params):
+        stage_merge_shared = merge_params[stage_idx]
+    if len(spec.samples) == 1 and not isinstance(
+            spec.samples[0].vision_start, (int, np.integer)):
+        return _apply_stage_dynamic(
+            hidden, labels, seq_idx, spec, stage, stage_idx, cfg=cfg,
+            attn_params=attn_params, stage_merge=stage_merge_shared,
+        )
     D = hidden.shape[-1]
     ratios = spec.ratios
     new_samples = []

@@ -30,7 +30,12 @@ from timeviper_tpu.models import nano as nano_mod
 from timeviper_tpu.models import qwen2 as qwen2_mod
 from timeviper_tpu.models import vit as vit_mod
 from timeviper_tpu.models.cache import init_nano_cache, init_qwen2_cache
-from timeviper_tpu.models.pdrop import PdropSpec, init_merge_modules, make_pdrop_spec
+from timeviper_tpu.models.pdrop import (
+    PdropSampleSpec,
+    PdropSpec,
+    init_merge_modules,
+    make_pdrop_spec,
+)
 from timeviper_tpu.models.projector import (
     init_projector_params,
     projector_forward,
@@ -213,6 +218,8 @@ def vlm_forward(
     labels: Optional[jax.Array] = None,  # (fused_len,) already fused
     use_pdrop: bool = False,
     pdrop_query_positions: Optional[Tuple[Optional[int], ...]] = None,
+    pdrop_vision_start: Optional[jax.Array] = None,  # traced scalar
+    pdrop_query_pos: Optional[jax.Array] = None,  # traced scalar
     fill_cache: bool = False,
     cache_max_len: int = 0,
     remat: bool = False,
@@ -242,10 +249,26 @@ def vlm_forward(
 
     pdrop_spec = None
     if use_pdrop and arch.llm.use_pdrop:
-        pdrop_spec = make_pdrop_spec(
-            list(plan.sample_layouts), arch.llm.pdrop_stages,
-            list(pdrop_query_positions) if pdrop_query_positions else None,
-        )
+        if pdrop_vision_start is not None:
+            # TRACED single-sample layout -> bucketed pdrop prefill: one
+            # compiled program per (bucket, frame count), not per exact
+            # prompt layout (models/pdrop.py:_apply_stage_dynamic)
+            pdrop_spec = PdropSpec(
+                samples=(PdropSampleSpec(
+                    vision_start=pdrop_vision_start,
+                    num_vision=plan.num_visual,
+                    text_suffix=-1,  # unused on the dynamic path
+                    query_pos=pdrop_query_pos,
+                ),),
+                orig_num_vision=(plan.num_visual,),
+                ratios=(1.0,) + tuple(
+                    s.ratio for s in arch.llm.pdrop_stages),
+            )
+        else:
+            pdrop_spec = make_pdrop_spec(
+                list(plan.sample_layouts), arch.llm.pdrop_stages,
+                list(pdrop_query_positions) if pdrop_query_positions else None,
+            )
 
     fwd = nano_mod.nano_forward if arch.llm_family == "nano" else qwen2_mod.qwen2_forward
     out = fwd(

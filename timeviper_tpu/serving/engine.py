@@ -135,12 +135,7 @@ class ServingEngine:
         seq_idx = np.concatenate(
             [np.full((pad,), -1, np.int32),
              np.zeros((plan.fused_len,), np.int32)])
-        layouts = tuple(
-            (vs + (pad if i == 0 else 0), nv, ts)
-            for i, (vs, nv, ts) in enumerate(plan.sample_layouts)
-        )
-        prefill = self._gen._get_prefill(
-            bucket, layouts, self.max_len, False, None)
+        prefill = self._gen._get_prefill(bucket, self.max_len)
         if visual is None:
             visual = jnp.zeros(
                 (0, self.arch.llm.hidden_size), jnp.bfloat16)
