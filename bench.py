@@ -1,24 +1,28 @@
-"""Headline benchmark: FULL Nemotron-Nano-9B-v2-scale hybrid backbone
-prefill on one TPU chip.
+"""Headline benchmark: END-TO-END 5k-frame time-to-first-token on one chip.
 
-Measures the TimeViper hot path — the 52-layer hybrid (Mamba-2 /
-attention / MLP) backbone prefill over a long fused visual+text sequence
-(16k tokens = 1000 frames x 16 ToMe tokens/frame; see BASELINE.md). The
-attached chip is a 16 GB v5e, so weights run int8 (weight-only per-channel
-quantization, train/quantize.py) — prefill is compute-bound, so the number
-matches bf16 throughput while the full 52-layer model fits on-chip.
+The north-star workload (BASELINE.md; reference operating point
+evaluate.py:100-139, clip-chunked vision generic_vlm.py:274-281):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "tokens/sec", "vs_baseline": N}
+  5000 frames -> SigLIP-SO400M-384 encode (256-frame clips)
+              -> ToMe compression to 16 tokens/frame + MLP projector
+              -> 80k fused visual tokens
+              -> full 52-layer Nemotron-Nano-9B hybrid prefill (int8
+                 weights: the attached chip is a 16 GB v5e)
+              -> first-token logits.
 
-`vs_baseline` compares against an A100 reference estimate for the same
-workload: mamba-ssm chunked-scan prefill on the 9B hybrid sustains roughly
-20k tokens/sec/GPU at 16k context (A100 80GB, bf16; derived from the
-reference stack's published kernel throughput envelope — no in-repo number
-exists, BASELINE.md). Note v5e peak bf16 (197 TFLOP/s) is 63% of A100's.
+Reports frames/sec over the whole pipeline plus the phase split. The
+prior headline (backbone-only prefill tokens/sec) remains available as
+BENCH_MODE=prefill.
 
-Env overrides: BENCH_SEQ_LEN (16384), BENCH_LAYERS (52), BENCH_HIDDEN
-(4096), BENCH_STEPS (3), BENCH_BATCH (1), BENCH_DTYPE (int8|bf16).
+`vs_baseline` compares against an A100-80GB estimate for the same
+end-to-end workload: ~160 frames/s SigLIP encode (timm + flash-attn 2,
+bf16) and ~20k tok/s hybrid prefill (mamba-ssm chunked scan) give
+5000/160 + 80000/20000 ≈ 35.5 s ≈ 141 frames/s. No in-repo reference
+number exists (BASELINE.md); the estimate is derived from the reference
+stack's published kernel envelopes. v5e peak bf16 is 0.63x A100.
+
+Env: BENCH_MODE (e2e|prefill), BENCH_FRAMES (5000), BENCH_CLIP (256),
+BENCH_STEPS (1 e2e / 3 prefill) + the prefill-mode knobs below.
 """
 
 from __future__ import annotations
@@ -30,10 +34,103 @@ import time
 import jax
 import jax.numpy as jnp
 
-A100_BASELINE_TOK_S = 20000.0
+A100_PREFILL_TOK_S = 20000.0
+A100_E2E_FRAMES_S = 141.0
 
 
-def main():
+def _sync(arr):
+    import numpy as np
+
+    return float(np.asarray(arr.reshape(-1)[0], np.float32))
+
+
+def bench_e2e():
+    from timeviper_tpu.config import SIGLIP_SO400M_384, NanoConfig
+    from timeviper_tpu.models.nano import init_nano_params, nano_forward
+    from timeviper_tpu.models.projector import init_projector_params, projector_forward
+    from timeviper_tpu.models.vit import init_vit_params, vit_forward
+    from timeviper_tpu.train.quantize import quantize_params_int8
+
+    F = int(os.environ.get("BENCH_FRAMES", 5000))
+    clip = int(os.environ.get("BENCH_CLIP", 256))
+    steps = int(os.environ.get("BENCH_STEPS", 1))
+    tokens_per_frame = 16
+
+    vcfg = SIGLIP_SO400M_384
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    lcfg = NanoConfig(vocab_size=2048)  # lm_head excluded from the metric
+
+    vparams = jax.jit(lambda k: init_vit_params(k, vcfg, jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    pparams = jax.jit(
+        lambda k: init_projector_params(
+            k, vcfg.hidden_size, lcfg.hidden_size, "tome_mlp",
+            dtype=jnp.bfloat16)
+    )(jax.random.PRNGKey(1))
+    lparams = jax.jit(
+        lambda k: quantize_params_int8(
+            init_nano_params(k, lcfg, dtype=jnp.bfloat16))
+    )(jax.random.PRNGKey(2))
+
+    # one clip of pixels, reused per clip step (decode/IO is host-side and
+    # overlapped in production; this measures the device pipeline)
+    pixels = jax.random.normal(
+        jax.random.PRNGKey(3), (clip, 384, 384, 3), jnp.bfloat16)
+
+    @jax.jit
+    def encode_clip(vparams, pparams, pixels):
+        feats = vit_forward(vparams, vcfg, pixels)      # (clip, 729, 1152)
+        proj = projector_forward(                       # ToMe-16 + MLP
+            pparams, feats, projector_type="tome_mlp",
+            num_compressed_tokens=tokens_per_frame)     # (clip, 16, llm_d)
+        return proj.reshape(1, clip * tokens_per_frame, -1).astype(
+            jnp.bfloat16)
+
+    n_clips = -(-F // clip)
+    L = F * tokens_per_frame
+    Lpad = -(-L // 1024) * 1024
+
+    @jax.jit
+    def prefill(lparams, embeds):
+        out = nano_forward(lparams, lcfg, inputs_embeds=embeds,
+                           logits_to_keep=1)
+        return out["logits"]
+
+    def run():
+        t0 = time.perf_counter()
+        clips = []
+        for i in range(n_clips):
+            clips.append(encode_clip(vparams, pparams, pixels))
+        _sync(clips[-1])  # vision phase boundary
+        t1 = time.perf_counter()
+        embeds = jnp.concatenate(clips, axis=1)[:, :L]
+        embeds = jnp.pad(embeds, ((0, 0), (0, Lpad - L), (0, 0)))
+        logits = prefill(lparams, embeds)
+        _sync(logits)
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1
+
+    run()  # warmup / compile
+    vis_s = llm_s = 0.0
+    for _ in range(steps):
+        v, l = run()
+        vis_s += v / steps
+        llm_s += l / steps
+
+    total = vis_s + llm_s
+    fps = F / total
+    print(json.dumps({
+        "metric": f"e2e_{F}frames_first_token",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / A100_E2E_FRAMES_S, 3),
+        "phases": {"vision_encode_s": round(vis_s, 2),
+                   "llm_prefill_s": round(llm_s, 2),
+                   "tokens": L},
+    }))
+
+
+def bench_prefill():
     import numpy as np
 
     from timeviper_tpu.config import NanoConfig
@@ -55,7 +152,6 @@ def main():
         hidden_size=hidden,
         intermediate_size=hidden * 21504 // 4096,
         mamba_num_heads=hidden // 32,
-        # vocab small: the lm_head is excluded from the prefill-path metric
         vocab_size=2048,
     )
 
@@ -65,22 +161,17 @@ def main():
 
     params = jax.jit(make_params)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
-
     embeds = jax.random.normal(
-        jax.random.PRNGKey(1), (B, L, cfg.hidden_size), jnp.bfloat16
-    )
+        jax.random.PRNGKey(1), (B, L, cfg.hidden_size), jnp.bfloat16)
 
     @jax.jit
     def prefill(params, embeds):
-        out = nano_forward(params, cfg, inputs_embeds=embeds, logits_to_keep=1)
+        out = nano_forward(params, cfg, inputs_embeds=embeds,
+                           logits_to_keep=1)
         return out["logits"]
 
-    # NOTE: on this image block_until_ready() returns before device
-    # completion (axon tunnel); a host fetch of one element is the only
-    # reliable sync, so that's what we time.
     def run():
-        out = prefill(params, embeds)
-        return float(np.asarray(out[0, -1, 0], np.float32))
+        return _sync(prefill(params, embeds))
 
     run()
     t0 = time.perf_counter()
@@ -93,8 +184,16 @@ def main():
         "metric": f"nano9b_{n_layers}L_{wdtype}_prefill_{L}tok",
         "value": round(tok_s, 1),
         "unit": "tokens/sec",
-        "vs_baseline": round(tok_s / A100_BASELINE_TOK_S, 3),
+        "vs_baseline": round(tok_s / A100_PREFILL_TOK_S, 3),
     }))
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "e2e")
+    if mode == "prefill":
+        bench_prefill()
+    else:
+        bench_e2e()
 
 
 if __name__ == "__main__":

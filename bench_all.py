@@ -230,6 +230,19 @@ def check_onchip(results):
         _cmp(f"{name}_y", yf, yr, 2e-2)      # bf16 inputs, f32 accum
         _cmp(f"{name}_state", sf, sr, 2e-2)
 
+    # --- compiled backward kernel vs jax.grad of the jnp oracle ---
+    def loss(f, x, dt, Bm, Cm):
+        yy, st = f(x, dt, A, Bm, Cm, chunk_size=256, D=D, dt_bias=dtb,
+                   seq_idx=seq)
+        return (yy.astype(jnp.float32) ** 2).mean() + (st**2).mean() * 1e-3
+
+    gfast = jax.jit(jax.grad(lambda *a: loss(ssd_pallas, *a),
+                             argnums=(0, 1, 2, 3)))(x, dt_in, Bm, Cm)
+    gref = jax.jit(jax.grad(lambda *a: loss(ssd_chunked, *a),
+                            argnums=(0, 1, 2, 3)))(x, dt_in, Bm, Cm)
+    for nm, gf, gr in zip(("dx", "ddt", "dB", "dC"), gfast, gref):
+        _cmp(f"ssd_bwd_{nm}", gf, gr, 3e-2)
+
     # --- flash attention kernel (GQA + segment ids) vs jnp oracle ---
     from timeviper_tpu.ops.attention import attention, make_attention_mask
     from timeviper_tpu.ops.flash_pallas import flash_attention
@@ -248,6 +261,18 @@ def check_onchip(results):
         jnp.repeat(q, 1, 2), jnp.repeat(kx, Hq // Hkv, 2),
         jnp.repeat(vx, Hq // Hkv, 2), mask))
     _cmp("flash_vs_oracle", fa(q, kx, vx), ref_attn(q, kx, vx), 3e-2)
+
+    # --- whole-frame ViT attention kernel (SigLIP shape) vs oracle ---
+    from timeviper_tpu.ops.vit_attention import vit_attention
+
+    Bv, Tv, Hv, hdv = 2, 729, 16, 72
+    kv = jax.random.split(jax.random.PRNGKey(9), 3)
+    qv = jax.random.normal(kv[0], (Bv, Tv, Hv, hdv), jnp.bfloat16)
+    kvx = jax.random.normal(kv[1], (Bv, Tv, Hv, hdv), jnp.bfloat16)
+    vvx = jax.random.normal(kv[2], (Bv, Tv, Hv, hdv), jnp.bfloat16)
+    got = jax.jit(vit_attention)(qv, kvx, vvx)
+    want = jax.jit(attention)(qv, kvx, vvx)
+    _cmp("vit_attn_vs_oracle", got, want, 3e-2)
 
     if failures:
         for r in results:

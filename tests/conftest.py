@@ -31,16 +31,27 @@ jax.config.update("jax_enable_x64", False)
 import hashlib  # noqa: E402
 
 def _cpu_key() -> str:
+    # model name + flags + jaxlib version (flags alone proved insufficient:
+    # XLA also bakes model-dependent tuning prefs into AOT entries)
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name")):
+                    parts.append(line.strip())
+                    if len(parts) == 2:
+                        break
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:12]
+        parts.append(platform.processor())
+    try:
+        import jaxlib
+
+        parts.append(jaxlib.__version__)
+    except Exception:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 jax.config.update(
     "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_cpu_key()}")

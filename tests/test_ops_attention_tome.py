@@ -129,3 +129,24 @@ def test_merge_schedule():
         p -= r
     assert p == 16
     assert merge_schedule(32, 16) == [16]
+
+
+def test_vit_whole_frame_attention_matches_oracle():
+    """Pallas whole-frame ViT attention (interpret) vs the jnp oracle,
+    incl. token padding (T=100 -> pad 128) and head_dim padding (hd=24)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timeviper_tpu.ops.attention import attention
+    from timeviper_tpu.ops.vit_attention import vit_attention
+
+    B, T, H, hd = 2, 100, 3, 24
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k[0], (B, T, H, hd), jnp.float32)
+    kx = jax.random.normal(k[1], (B, T, H, hd), jnp.float32)
+    v = jax.random.normal(k[2], (B, T, H, hd), jnp.float32)
+    got = vit_attention(q, kx, v, interpret=True)
+    want = attention(q, kx, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

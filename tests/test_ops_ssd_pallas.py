@@ -58,3 +58,82 @@ def test_pallas_unpadded_multichunk():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(hr), np.asarray(hp),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("L,packed", [(512, False), (512, True),
+                                      (500, False), (500, True)])
+def test_pallas_backward_kernel_matches_autodiff(L, packed):
+    """The hand-derived reverse-chunk backward kernel (interpret mode)
+    against jax.grad of the jnp oracle — all 7 gradients, incl. packed
+    segments and non-multiple-of-chunk padding."""
+    from timeviper_tpu.ops.ssd_pallas import _ssd_pallas_bwd, _ssd_pallas_fwd
+
+    B, H, P, G, N, cs = 1, 4, 32, 2, 64, 256
+    k = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = jax.random.normal(k[0], (B, L, H, P), jnp.float32)
+    dt = jax.random.normal(k[1], (B, L, H)) * 0.5
+    A = -jnp.exp(jax.random.normal(k[2], (H,)))
+    Bm = jax.random.normal(k[3], (B, L, G, N))
+    Cm = jax.random.normal(k[4], (B, L, G, N))
+    D = jax.random.normal(k[5], (H,))
+    dtb = jax.random.normal(k[6], (H,)) * 0.1
+    seq = (jnp.arange(L)[None] // max(L // 3, 1)).astype(jnp.int32) \
+        if packed else None
+    gy = jax.random.normal(jax.random.PRNGKey(9), (B, L, H, P), jnp.float32)
+    gst = jax.random.normal(jax.random.PRNGKey(10), (B, H, P, N), jnp.float32)
+
+    def ref(x, dt, A, Bm, Cm, D, dtb):
+        y, st = ssd_chunked(x, dt, A, Bm, Cm, chunk_size=cs, D=D,
+                            dt_bias=dtb, seq_idx=seq, return_final_state=True)
+        return (y.astype(jnp.float32) * gy).sum() + (st * gst).sum()
+
+    want = jax.grad(ref, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        x, dt, A, Bm, Cm, D, dtb)
+    _, _, hin = _ssd_pallas_fwd(
+        x, dt, A, Bm, Cm, cs, D, dtb, True, (0.0, float("inf")), seq,
+        interpret=True, save_prev=True)
+    got = _ssd_pallas_bwd(
+        x, dt, A, Bm, Cm, D, dtb, seq, hin, gy, gst, cs, True,
+        (0.0, float("inf")), interpret=True)
+    for name, gw, gg in zip(
+            ("dx", "ddt", "dA", "dB", "dC", "dD", "ddt_bias"), want, got):
+        gw = np.asarray(gw, np.float64)
+        gg = np.asarray(gg, np.float64)
+        rms = np.sqrt((gw**2).mean()) or 1.0
+        rel = np.sqrt(((gg - gw) ** 2).mean()) / rms
+        assert rel < 1e-4, (name, rel)
+
+
+def test_pallas_backward_dt_limit_clip():
+    """dt_limit clipping must zero the dt gradient where saturated."""
+    from timeviper_tpu.ops.ssd_pallas import _ssd_pallas_bwd, _ssd_pallas_fwd
+
+    B, L, H, P, G, N, cs = 1, 256, 2, 32, 1, 32, 256
+    lim = (0.01, 0.5)
+    k = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(k[0], (B, L, H, P), jnp.float32)
+    dt = jax.random.normal(k[1], (B, L, H)) * 2.0  # saturates both ends
+    A = -jnp.exp(jax.random.normal(k[2], (H,)))
+    Bm = jax.random.normal(k[3], (B, L, G, N))
+    Cm = jax.random.normal(k[4], (B, L, G, N))
+    gy = jax.random.normal(jax.random.PRNGKey(9), (B, L, H, P), jnp.float32)
+    gst = jnp.zeros((B, H, P, N), jnp.float32)
+
+    def ref(x, dt, Bm, Cm):
+        y, _ = ssd_chunked(x, dt, A, Bm, Cm, chunk_size=cs, dt_limit=lim,
+                           return_final_state=True)
+        return (y.astype(jnp.float32) * gy).sum()
+
+    want = jax.grad(ref, argnums=(0, 1, 2, 3))(x, dt, Bm, Cm)
+    _, _, hin = _ssd_pallas_fwd(
+        x, dt, A, Bm, Cm, cs, None, None, True, lim, None,
+        interpret=True, save_prev=True)
+    got = _ssd_pallas_bwd(
+        x, dt, A, Bm, Cm, jnp.zeros((H,)), jnp.zeros((H,)), None, hin,
+        gy, gst, cs, True, lim, interpret=True)
+    for name, gw, gg in zip(("dx", "ddt"), (want[0], want[1]),
+                            (got[0], got[1])):
+        gw = np.asarray(gw, np.float64)
+        gg = np.asarray(gg, np.float64)
+        rms = np.sqrt((gw**2).mean()) or 1.0
+        assert np.sqrt(((gg - gw) ** 2).mean()) / rms < 1e-4, name

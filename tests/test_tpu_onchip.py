@@ -73,23 +73,36 @@ def test_flash_attention_compiled_matches_oracle():
     assert _rms_rel(out, want) < 3e-2
 
 
-def test_ssd_pallas_grad_path_compiles():
-    """The custom_vjp backward (jnp remat) must compile and be finite on
-    the chip — this is the training hot path."""
+@pytest.mark.parametrize("packed", [False, True])
+def test_ssd_pallas_compiled_backward_matches_autodiff(packed):
+    """The compiled reverse-chunk backward kernel against jax.grad of the
+    jnp oracle on-chip — the training hot path."""
+    from timeviper_tpu.ops.ssd import ssd_chunked
     from timeviper_tpu.ops.ssd_pallas import ssd_pallas
 
-    B, L, H, P, G, N = 1, 512, 8, 64, 2, 128
-    k = jax.random.split(jax.random.PRNGKey(9), 5)
+    B, L, H, P, G, N = 1, 1024, 8, 64, 2, 128
+    k = jax.random.split(jax.random.PRNGKey(9), 7)
     x = jax.random.normal(k[0], (B, L, H, P), jnp.bfloat16)
     dt = jax.random.normal(k[1], (B, L, H), jnp.bfloat16) * 0.5
     A = -jnp.exp(jax.random.normal(k[2], (H,)))
     Bm = jax.random.normal(k[3], (B, L, G, N), jnp.bfloat16)
     Cm = jax.random.normal(k[4], (B, L, G, N), jnp.bfloat16)
+    D = jax.random.normal(k[5], (H,))
+    dtb = jax.random.normal(k[6], (H,)) * 0.1
+    seq = (jnp.arange(L)[None] // 400).astype(jnp.int32) if packed else None
 
-    def loss(x, dt, Bm, Cm):
-        y, st = ssd_pallas(x, dt, A, Bm, Cm, chunk_size=256)
-        return (y.astype(jnp.float32) ** 2).mean() + (st**2).mean()
+    def loss(f, x, dt, A, Bm, Cm, D, dtb):
+        y, st = f(x, dt, A, Bm, Cm, chunk_size=256, D=D, dt_bias=dtb,
+                  seq_idx=seq)
+        return (y.astype(jnp.float32) ** 2).mean() + (st**2).mean() * 1e-3
 
-    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(x, dt, Bm, Cm)
-    for gi in g:
-        assert np.isfinite(np.asarray(gi, np.float32)).all()
+    gfast = jax.jit(jax.grad(
+        lambda *a: loss(ssd_pallas, *a), argnums=(0, 1, 2, 3, 4, 5, 6)))(
+        x, dt, A, Bm, Cm, D, dtb)
+    gref = jax.jit(jax.grad(
+        lambda *a: loss(ssd_chunked, *a), argnums=(0, 1, 2, 3, 4, 5, 6)))(
+        x, dt, A, Bm, Cm, D, dtb)
+    for name, gf, gr in zip(("dx", "ddt", "dA", "dB", "dC", "dD", "ddtb"),
+                            gfast, gref):
+        rel = _rms_rel(gf, gr)
+        assert rel < 3e-2, (name, rel)

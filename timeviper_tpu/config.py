@@ -293,6 +293,13 @@ class InternVideo2Config:
     # (reference vit_scale_clean.py:505)
     x_vis_return_idx: int = -2
     use_checkpoint: bool = False
+    # CLIP-aligned attention-pooling head (vit_scale_clean.py:588-597);
+    # unused when x_vis_only (the TimeViper VLM path) but carried by full
+    # InternVideo2 checkpoints
+    clip_embed_dim: int = 768
+    attn_pool_num_heads: int = 16
+    # checkpoints are pretrained at 8 temporal positions (pos_embed.py:125)
+    pretrain_t_size: int = 8
 
     @property
     def effective_depth(self) -> int:

@@ -74,6 +74,131 @@ def get_3d_sincos_pos_embed(
     return pos
 
 
+def _linear_resize_axis(x: np.ndarray, axis: int, out_size: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) semantics."""
+    x = np.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    center = np.clip(
+        (np.arange(out_size, dtype=np.float64) + 0.5) * n / out_size - 0.5,
+        0.0, n - 1)
+    lo = np.floor(center).astype(int)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (center - lo).reshape(-1, *([1] * (x.ndim - 1)))
+    y = (1.0 - frac) * x[lo] + frac * x[hi]
+    return np.moveaxis(y, 0, axis)
+
+
+def _bicubic_resize_axis(x: np.ndarray, axis: int, out_size: int) -> np.ndarray:
+    """torch F.interpolate(mode='bicubic', align_corners=False) along one
+    axis (separable): cubic convolution with A = -0.75 (torch's constant —
+    jax.image.resize uses Keys A = -0.5, which diverges ~1e-3)."""
+    A = -0.75
+    x = np.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    center = (np.arange(out_size, dtype=np.float64) + 0.5) * n / out_size - 0.5
+    base = np.floor(center).astype(int)
+    frac = center - base
+
+    def k1(t):  # |t| <= 1
+        return ((A + 2) * t - (A + 3)) * t * t + 1
+
+    def k2(t):  # 1 < |t| < 2
+        return ((A * t - 5 * A) * t + 8 * A) * t - 4 * A
+
+    w = np.stack([k2(frac + 1), k1(frac), k1(1 - frac), k2(2 - frac)], 1)
+    taps = np.clip(np.stack([base - 1, base, base + 1, base + 2], 1), 0, n - 1)
+    y = np.einsum("ot,ot...->o...", w, x[taps])
+    return np.moveaxis(y, 0, axis)
+
+
+def interpolate_pos_embed(
+    pos: np.ndarray,
+    orig_t: int,
+    new_t: int,
+    new_grid: int,
+    num_extra_tokens: int = 1,
+) -> np.ndarray:
+    """Resize a (1, orig_t*g²+extra, D) position table to
+    (1, new_t*new_grid²+extra, D) — temporal linear then spatial bicubic,
+    exactly matching the reference's load-time interpolation
+    (pos_embed.py:125-203: checkpoints are pretrained at 8 frames / 224px).
+    Extra (CLS) tokens pass through unchanged."""
+    pos = np.asarray(pos, np.float64)
+    D = pos.shape[-1]
+    extra = pos[:, :num_extra_tokens]
+    tok = pos[:, num_extra_tokens:]
+    orig_grid = int(round((tok.shape[1] // orig_t) ** 0.5))
+    tok = tok.reshape(orig_t, orig_grid, orig_grid, D)
+    if orig_t != new_t:
+        tok = _linear_resize_axis(tok, 0, new_t)
+    if orig_grid != new_grid:
+        tok = _bicubic_resize_axis(tok, 1, new_grid)
+        tok = _bicubic_resize_axis(tok, 2, new_grid)
+    tok = tok.reshape(1, new_t * new_grid * new_grid, D)
+    return np.concatenate([extra, tok], axis=1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Attention pooling head (reference vit_scale_clean.py:140-150, 588-597):
+# the CLIP-aligned pooled embedding. TimeViper's tower runs x_vis_only=True
+# (model.py:169) so the VLM path never calls this, but full InternVideo2
+# checkpoints carry it and retrieval-style use needs it.
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["weight"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(x.dtype)
+
+
+def init_attention_pool_params(
+    key, cfg: InternVideo2Config, dtype=jnp.bfloat16
+) -> Dict[str, Any]:
+    d = cfg.hidden_size
+    out = cfg.clip_embed_dim
+    ks = jax.random.split(key, 4)
+
+    def ln():
+        return {"weight": jnp.ones((d,), jnp.float32),
+                "bias": jnp.zeros((d,), jnp.float32)}
+
+    return {
+        "norm1_q": ln(), "norm1_k": ln(), "norm1_v": ln(),
+        "q": _linear(ks[0], d, d, dtype, bias=True),
+        "k": _linear(ks[1], d, d, dtype, bias=True),
+        "v": _linear(ks[2], d, d, dtype, bias=True),
+        "proj": _linear(ks[3], d, out, dtype, bias=True),
+    }
+
+
+def attention_pool(
+    params: Dict[str, Any], cfg: InternVideo2Config, x: jax.Array
+) -> jax.Array:
+    """(B, T, D) patch features -> (B, clip_embed_dim) pooled embedding.
+
+    AttentionPoolingBlock.forward (vit_scale_clean.py:141-150): the query
+    is the mean token; q/k/v each get their own LayerNorm (eps 1e-5);
+    single cross-attention step, then projection to clip_embed_dim.
+    """
+    B, T, d = x.shape
+    nh = cfg.attn_pool_num_heads
+    hd = d // nh
+    eps = 1e-5
+    xq = _layer_norm(jnp.mean(x, axis=1, keepdims=True), params["norm1_q"], eps)
+    xk = _layer_norm(x, params["norm1_k"], eps)
+    xv = _layer_norm(x, params["norm1_v"], eps)
+    q = _apply_linear(params["q"], xq).reshape(B, 1, nh, hd)
+    k = _apply_linear(params["k"], xk).reshape(B, T, nh, hd)
+    v = _apply_linear(params["v"], xv).reshape(B, T, nh, hd)
+    out = attention(q, k, v)
+    out = _apply_linear(params["proj"], out.reshape(B, 1, d))
+    return out[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # Params
 # ---------------------------------------------------------------------------
@@ -129,10 +254,12 @@ def init_internvideo2_params(
 
 
 def internvideo2_forward(
-    params: Dict[str, Any], cfg: InternVideo2Config, clips: jax.Array
+    params: Dict[str, Any], cfg: InternVideo2Config, clips: jax.Array,
+    keep_cls: bool = False,
 ) -> jax.Array:
     """clips: (B, T, H, W, 3) with T == cfg.num_frames ->
-    (B, T*grid², D) patch features (CLS dropped)."""
+    (B, T*grid², D) patch features (CLS dropped; `keep_cls` retains it —
+    the attention-pooling head consumes CLS+patches, vit_scale_clean.py:728)."""
     B, T, H, W, _ = clips.shape
     ps, tb = cfg.patch_size, cfg.tubelet_size
     d = cfg.hidden_size
@@ -175,7 +302,7 @@ def internvideo2_forward(
                         approximate=False)
         h = _apply_linear(layer["mlp"]["fc2"], h)
         x = res + h * layer["ls2"]["gamma"].astype(h.dtype)
-    return x[:, 1:]
+    return x if keep_cls else x[:, 1:]
 
 
 def encode_frames_iv2(

@@ -59,13 +59,8 @@ def _ssd_kernel(
     C_ref,      # (cs, N)
     D_ref,      # (G, R), full array
     seg_ref,    # (cs,) int32 segment ids
-    # outputs
-    y_ref,      # (R, cs, P)
-    st_ref,     # (R, P, N) final state (written at last chunk)
-    # scratch
-    state,      # VMEM (R, P, N) f32 carry
-    segprev,    # SMEM (1,) int32: segment id at end of previous chunk
-    *,
+    # outputs: y_ref, st_ref, then hin_ref when save_prev; scratch last
+    *refs,
     R: int,
     cs: int,
     P: int,
@@ -74,7 +69,14 @@ def _ssd_kernel(
     dt_softplus: bool,
     dt_lo: float,
     dt_hi: float,
+    save_prev: bool = False,
 ):
+    if save_prev:
+        # y (R,cs,P); final state (R,P,N); per-chunk inbound state (R,P,N)
+        y_ref, st_ref, hin_ref, state, segprev = refs
+    else:
+        y_ref, st_ref, state, segprev = refs
+        hin_ref = None
     g = pl.program_id(1)
     c = pl.program_id(2)
 
@@ -82,6 +84,10 @@ def _ssd_kernel(
     def _():
         state[...] = jnp.zeros_like(state)
         segprev[0] = seg_ref[0]
+
+    if hin_ref is not None:
+        # inbound state of THIS chunk — the backward kernel's residual
+        hin_ref[...] = state[...]
 
     seg = seg_ref[...]  # (cs,)
     seg_prev = segprev[0]
@@ -185,7 +191,8 @@ def _ssd_pallas_fwd(
     dt_limit: Tuple[float, float],
     seq_idx: Optional[jax.Array],
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    save_prev: bool = False,
+):
     Bsz, L, H, P = x.shape
     G, N = B_.shape[-2], B_.shape[-1]
     R = H // G
@@ -228,10 +235,29 @@ def _ssd_pallas_fwd(
         R=R, cs=cs, P=P, N=N, nc=nc,
         dt_softplus=dt_softplus,
         dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
+        save_prev=save_prev,
     )
 
+    out_specs = [
+        pl.BlockSpec((None, None, R, cs, P), lambda b, g, c: (b, g, 0, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, None, R, P, N), lambda b, g, c: (b, g, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Bsz, G, R, Lp, P), x.dtype),
+        jax.ShapeDtypeStruct((Bsz, G, R, P, N), jnp.float32),
+    ]
+    if save_prev:
+        out_specs.append(
+            pl.BlockSpec((None, None, None, R, P, N),
+                         lambda b, g, c: (b, g, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((Bsz, G, nc, R, P, N), jnp.float32))
+
     grid = (Bsz, G, nc)
-    y, st = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -252,16 +278,8 @@ def _ssd_pallas_fwd(
             pl.BlockSpec((None, cs), lambda b, g, c: (b, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((None, None, R, cs, P), lambda b, g, c: (b, g, 0, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, R, P, N), lambda b, g, c: (b, g, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Bsz, G, R, Lp, P), x.dtype),
-            jax.ShapeDtypeStruct((Bsz, G, R, P, N), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((R, P, N), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
@@ -272,15 +290,403 @@ def _ssd_pallas_fwd(
         interpret=interpret,
     )(xb, dtb, Ab, dtbias, Bb, Cb, Db, seq_idx)
 
+    y, st = outs[0], outs[1]
     y = jnp.transpose(y.reshape(Bsz, H, Lp, P), (0, 2, 1, 3))
     if pad:
         y = y[:, :L]
     final_state = st.reshape(Bsz, H, P, N)
+    if save_prev:
+        return y, final_state, outs[2]  # hin: (B, G, nc, R, P, N) f32
     return y, final_state
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp: Pallas forward, jnp-rematerialized backward
+# Backward kernel: reverse-chunk grid carrying the state cotangent in VMEM
+# ---------------------------------------------------------------------------
+#
+# The training-path analog of the reference's fused Triton backward
+# (`mamba_chunk_scan_combined`'s bwd / `mamba_split_conv1d_scan_combined`,
+# modeling_nano.py:61-65, train path :561-580). Chunks are visited in
+# REVERSE order; the (R, P, N) cotangent of the chunk-boundary state is
+# carried across grid steps in VMEM scratch (mirroring the forward's state
+# carry), per-chunk inbound states come from the forward's `save_prev`
+# output, and the per-head scalar grads (dA, d dt_bias, dD) accumulate in
+# scratch and are written at the last grid step.
+
+
+def _ssd_bwd_kernel(
+    # inputs
+    x_ref,      # (R, cs, P)
+    dt_ref,     # (R, cs) raw dt
+    A_ref,      # (G, R)
+    dtb_ref,    # (G, R)
+    B_ref,      # (cs, N)
+    C_ref,      # (cs, N)
+    D_ref,      # (G, R)
+    seg_ref,    # (cs,) this chunk's segment ids
+    segp_ref,   # (cs,) previous chunk's segment ids (chunk ci-1; ci=0 -> ci)
+    hin_ref,    # (R, P, N) f32 inbound state of this chunk (fwd residual)
+    dy_ref,     # (R, cs, P) output cotangent
+    dst_ref,    # (R, P, N) f32 final-state cotangent
+    # outputs
+    dx_ref,     # (R, cs, P)
+    ddt_ref,    # (R, cs)
+    dB_ref,     # (cs, N) f32 (group-shared, accumulated over heads)
+    dC_ref,     # (cs, N) f32
+    dacc_ref,   # (3, R) per (b, g): [dA, d dt_bias, dD]; written at last step
+    # scratch
+    dh,         # VMEM (R, P, N) f32: cotangent of this chunk's OUT state
+    acc,        # VMEM (3, R) f32: [dA, ddt_bias, dD] accumulators
+    *,
+    R: int,
+    cs: int,
+    P: int,
+    N: int,
+    nc: int,
+    dt_softplus: bool,
+    dt_lo: float,
+    dt_hi: float,
+):
+    g = pl.program_id(1)
+    c = pl.program_id(2)
+    ci = nc - 1 - c  # data chunk index (reverse traversal)
+
+    @pl.when(c == 0)
+    def _():
+        dh[...] = dst_ref[...]
+        acc[...] = jnp.zeros_like(acc)
+
+    seg = seg_ref[...]
+    seg_prev = jnp.where(ci == 0, seg[0], segp_ref[cs - 1])
+
+    # --- recompute chunk-local quantities (same math as forward) ---
+    dt_raw = dt_ref[...].astype(jnp.float32) + dtb_ref[g][:, None]  # (R, cs)
+    if dt_softplus:
+        sp = jax.nn.softplus(dt_raw)
+        sig = jax.nn.sigmoid(dt_raw)
+    else:
+        sp = dt_raw
+        sig = jnp.ones_like(dt_raw)
+    clipped = dt_lo > 0.0 or dt_hi != float("inf")
+    if clipped:
+        dtp = jnp.clip(sp, dt_lo, dt_hi)
+        clipmask = ((sp > dt_lo) & (sp < dt_hi)).astype(jnp.float32)
+    else:
+        dtp = sp
+        clipmask = None
+
+    A = A_ref[g]  # (R,)
+    dA_pos = dtp * A[:, None]  # (R, cs)
+    ii0 = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
+    jj0 = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 1)
+    tri = (ii0 <= jj0).astype(jnp.float32)      # cumsum operator
+    sfx = (ii0 >= jj0).astype(jnp.float32)      # suffix-sum operator
+    Acs = jax.lax.dot_general(
+        dA_pos, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, cs) inclusive cumsum of dt*A
+
+    Bc = B_ref[...]  # (cs, N)
+    Cc = C_ref[...]
+    CB = jax.lax.dot_general(
+        Cc, Bc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (cs, cs)
+
+    causal = ii0 >= jj0
+    same_seg = seg[:, None] == seg[None, :]
+    keep2d = causal & same_seg
+    cont = (seg == seg_prev).astype(jnp.float32)
+    no_boundary = jnp.logical_and(
+        seg[0] == seg[cs - 1], seg[0] == seg_prev
+    ).astype(jnp.float32)
+    keep_last = (seg == seg[cs - 1]).astype(jnp.float32)
+    last_onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (cs,), 0) == cs - 1
+    ).astype(jnp.float32)
+
+    in_dtype = x_ref.dtype
+    xf = x_ref[...].astype(jnp.float32)        # (R, cs, P)
+    dyf = dy_ref[...].astype(jnp.float32)
+    xdt = xf * dtp[:, :, None]
+    xdt_mm = xdt.astype(in_dtype)
+    dy_mm = dy_ref[...].astype(in_dtype)
+    Bc_mm = Bc.astype(in_dtype)
+    Cc_mm = Cc.astype(in_dtype)
+
+    dB_acc = jnp.zeros((cs, N), jnp.float32)
+    dC_acc = jnp.zeros((cs, N), jnp.float32)
+    # per-head scalar grads packed into a (3, R) delta via masks — Mosaic
+    # cannot store scalars to VMEM, so acc is updated with one vector add.
+    # All reductions below go through MXU dots with ones-vectors: Mosaic's
+    # multi_reduction cannot lower some 1-element-result layouts
+    # ("Not implemented: Offset change").
+    acc_delta = jnp.zeros((3, R), jnp.float32)
+    acc_row = jax.lax.broadcasted_iota(jnp.int32, (3, R), 0)
+    acc_col = jax.lax.broadcasted_iota(jnp.int32, (3, R), 1)
+    # Reduction helpers. Mosaic rejects both 1-element multi_reductions
+    # ("Offset change") and unit-row dots ("only constant accumulators"),
+    # so every reduction here is an 8-row MXU dot against a ones matrix;
+    # row 0 of the (8, ...) result is the answer (all rows identical).
+    ones8 = {K: jnp.ones((8, K), jnp.float32) for K in {cs, P, N}}
+
+    def _rsum(m):
+        # (cs, K) -> (cs,): Σ_k m[i, k]
+        K = m.shape[-1]
+        return jax.lax.dot_general(
+            ones8[K], m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[0]
+
+    def _csum(m):
+        # (K, cs) -> (cs,): Σ_k m[k, j]
+        K = m.shape[0]
+        return jax.lax.dot_general(
+            ones8[K], m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[0]
+
+    def _tot(vec):
+        # (K,) -> scalar
+        K = vec.shape[0]
+        v8 = jnp.broadcast_to(vec[None, :], (8, K))
+        return jax.lax.dot_general(
+            v8, ones8[K], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[0, 0]
+
+    for h in range(R):  # static unroll over the group's heads
+        Acs_h = Acs[h]
+        Lh = jnp.exp(Acs_h[:, None] - Acs_h[None, :])
+        h_in = hin_ref[h]                       # (P, N) f32
+        h_in_mm = h_in.astype(in_dtype)
+        dh_h = dh[h]                            # (P, N) f32
+        dh_mm = dh_h.astype(in_dtype)
+        w_out = jnp.exp(Acs_h) * cont           # (cs,)
+        w_st = jnp.exp(Acs_h[cs - 1] - Acs_h) * keep_last
+        cdecay = jnp.exp(Acs_h[cs - 1]) * no_boundary
+
+        # dM[i,j] = dy_i · xdt_j  (contract P)
+        dM = jax.lax.dot_general(
+            dy_mm[h], xdt_mm[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cs, cs)
+        dCB = jnp.where(keep2d, dM * Lh, 0.0)
+        E = dCB * CB  # = dM ⊙ M on kept entries
+
+        # (cs, N) cross terms
+        dy_hin = jax.lax.dot_general(
+            dy_mm[h], h_in_mm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # dy @ h_in
+        xdt_dh = jax.lax.dot_general(
+            xdt_mm[h], dh_mm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # xdt @ dh
+
+        dCB_mm = dCB.astype(in_dtype)
+        dC_acc += jax.lax.dot_general(
+            dCB_mm, Bc_mm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + w_out[:, None] * dy_hin
+        dB_acc += jax.lax.dot_general(
+            dCB_mm, Cc_mm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + w_st[:, None] * xdt_dh
+
+        # dxdt[j] = Σ_i M[i,j] dy_i + w_st[j] (B_j · dh)
+        Mm = jnp.where(keep2d, CB * Lh, 0.0)
+        dxdt = jax.lax.dot_general(
+            Mm.astype(in_dtype), dy_mm[h], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + w_st[:, None] * jax.lax.dot_general(
+            Bc_mm, dh_mm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (cs, P)
+
+        # gradient wrt the cumsum Acs (then suffix-sum -> per-position dA)
+        rowE = _rsum(E)                         # (cs,) Σ_j E[i,j]
+        colE = _csum(E)                         # (cs,) Σ_i E[i,j]
+        t = w_out * _rsum(dy_hin * Cc)
+        u = w_st * _rsum(xdt_dh * Bc)
+        v = cdecay * _tot(_csum(dh_h * h_in))   # Σ_{p,n} dh·h_in
+        da = rowE - colE + t - u + last_onehot * (_tot(u) + v)
+        da8 = jnp.broadcast_to(da[None, :], (8, cs))
+        ddA = jax.lax.dot_general(
+            da8, sfx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]  # (cs,) suffix sum: ddA_j = Σ_{i>=j} da_i
+
+        dx_h = dxdt * dtp[h][:, None] + D_ref[g, h] * dyf[h]
+        ddt_proc = _rsum(dxdt * xf[h]) + ddA * A[h]
+        ddt_raw = ddt_proc * sig[h]
+        if clipmask is not None:
+            ddt_raw = ddt_raw * clipmask[h]
+        dx_ref[h] = dx_h.astype(dx_ref.dtype)
+        ddt_ref[h] = ddt_raw.astype(ddt_ref.dtype)
+
+        vals = (_tot(ddA * dtp[h]),             # dA
+                _tot(ddt_raw),                  # d dt_bias
+                _tot(_rsum(dyf[h] * xf[h])))    # dD
+        for row, val in enumerate(vals):
+            acc_delta += jnp.where(
+                (acc_row == row) & (acc_col == h), val, 0.0)
+
+        # cotangent of the INBOUND state -> carried to previous chunk
+        dy_w = (dyf[h] * w_out[:, None]).astype(in_dtype)  # (cs, P)
+        dh[h] = cdecay * dh_h + jax.lax.dot_general(
+            dy_w, Cc_mm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (P, N)
+
+    dB_ref[...] = dB_acc
+    dC_ref[...] = dC_acc
+    acc[...] += acc_delta
+
+    @pl.when(c == nc - 1)
+    def _():
+        dacc_ref[...] = acc[...]
+
+
+def _ssd_pallas_bwd(
+    x, dt, A, B_, C, D, dt_bias, seq_idx, hin,
+    gy, gstate, chunk_size, dt_softplus, dt_limit,
+    interpret: bool = False,
+):
+    """Run the backward kernel; returns grads matching ssd_chunked's args.
+
+    hin: (B, G, nc, R, P, N) f32 per-chunk inbound states from the forward.
+    gy: (B, L, H, P) cotangent of y; gstate: (B, H, P, N) of the final state.
+    """
+    Bsz, L, H, P = x.shape
+    G, N = B_.shape[-2], B_.shape[-1]
+    R = H // G
+    cs = chunk_size
+    pad = (cs - L % cs) % cs
+    Lp = L + pad
+    nc = Lp // cs
+
+    if seq_idx is None:
+        seq_idx = jnp.zeros((Bsz, L), jnp.int32)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dt = jnp.pad(dt, ((0, 0), (0, pad), (0, 0)))
+        B_ = jnp.pad(B_, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        gy = jnp.pad(gy, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        padmask = jnp.arange(Lp) >= L
+        dt = jnp.where(padmask[None, :, None], -jnp.inf, dt)
+        seq_idx = jnp.pad(seq_idx, ((0, 0), (0, pad)), mode="edge")
+
+    xb = jnp.transpose(x, (0, 2, 1, 3)).reshape(Bsz, G, R, Lp, P)
+    dtb = jnp.transpose(dt, (0, 2, 1)).reshape(Bsz, G, R, Lp)
+    Bb = jnp.transpose(B_, (0, 2, 1, 3))
+    Cb = jnp.transpose(C, (0, 2, 1, 3))
+    gyb = jnp.transpose(gy, (0, 2, 1, 3)).reshape(Bsz, G, R, Lp, P)
+    gstb = gstate.astype(jnp.float32).reshape(Bsz, G, R, P, N)
+    Ab = A.astype(jnp.float32).reshape(G, R)
+    dtbias = (
+        dt_bias if dt_bias is not None else jnp.zeros((H,), jnp.float32)
+    ).reshape(G, R).astype(jnp.float32)
+    Db = (
+        D if D is not None else jnp.zeros((H,), jnp.float32)
+    ).reshape(G, R).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _ssd_bwd_kernel,
+        R=R, cs=cs, P=P, N=N, nc=nc,
+        dt_softplus=dt_softplus,
+        dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
+    )
+
+    def rev(c):
+        return nc - 1 - c
+
+    grid = (Bsz, G, nc)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, R, cs, P),
+                         lambda b, g, c: (b, g, 0, rev(c), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, R, cs),
+                         lambda b, g, c: (b, g, 0, rev(c)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cs, N),
+                         lambda b, g, c: (b, g, rev(c), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cs, N),
+                         lambda b, g, c: (b, g, rev(c), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, cs), lambda b, g, c: (b, rev(c)),
+                         memory_space=pltpu.VMEM),
+            # previous chunk's segment ids (clamped at chunk 0)
+            pl.BlockSpec(
+                (None, cs),
+                lambda b, g, c: (b, jnp.maximum(rev(c) - 1, 0)),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, None, R, P, N),
+                         lambda b, g, c: (b, g, rev(c), 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, R, cs, P),
+                         lambda b, g, c: (b, g, 0, rev(c), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, R, P, N),
+                         lambda b, g, c: (b, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, R, cs, P),
+                         lambda b, g, c: (b, g, 0, rev(c), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, R, cs),
+                         lambda b, g, c: (b, g, 0, rev(c)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cs, N),
+                         lambda b, g, c: (b, g, rev(c), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, cs, N),
+                         lambda b, g, c: (b, g, rev(c), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 3, R), lambda b, g, c: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bsz, G, R, Lp, P), x.dtype),
+            jax.ShapeDtypeStruct((Bsz, G, R, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, G, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, G, Lp, N), jnp.float32),
+            jax.ShapeDtypeStruct((Bsz, G, 3, R), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, P, N), jnp.float32),
+            pltpu.VMEM((3, R), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xb, dtb, Ab, dtbias, Bb, Cb, Db, seq_idx,
+      seq_idx, hin, gyb, gstb)
+
+    dxb, ddtb_raw, dBb, dCb, daccb = outs
+    dx = jnp.transpose(dxb.reshape(Bsz, H, Lp, P), (0, 2, 1, 3))[:, :L]
+    ddt = jnp.transpose(ddtb_raw.reshape(Bsz, H, Lp), (0, 2, 1))[:, :L]
+    dB = jnp.transpose(dBb, (0, 2, 1, 3))[:, :L]
+    dC = jnp.transpose(dCb, (0, 2, 1, 3))[:, :L]
+    dacc = jnp.sum(daccb, axis=0)  # (G, 3, R)
+    dA = dacc[:, 0].reshape(H)
+    ddt_bias = dacc[:, 1].reshape(H)
+    dD = dacc[:, 2].reshape(H)
+    return dx, ddt, dA, dB, dC, dD, ddt_bias
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp: Pallas forward, Pallas backward (jnp-remat fallback via env)
 # ---------------------------------------------------------------------------
 
 
@@ -295,19 +701,41 @@ def _ssd_core(x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
     )
 
 
+def _use_pallas_bwd() -> bool:
+    import os
+
+    return os.environ.get("TIMEVIPER_SSD_BWD", "pallas") != "jnp"
+
+
 def _ssd_core_fwd(x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus,
                   dt_limit, seq_idx):
+    if _use_pallas_bwd():
+        y, st, hin = _ssd_pallas_fwd(
+            x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
+            seq_idx, save_prev=True,
+        )
+        return (y, st), (x, dt, A, B_, C, D, dt_bias, seq_idx, hin)
     out = _ssd_pallas_fwd(
         x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
         seq_idx,
     )
-    return out, (x, dt, A, B_, C, D, dt_bias, seq_idx)
+    return out, (x, dt, A, B_, C, D, dt_bias, seq_idx, None)
 
 
 def _ssd_core_bwd(chunk_size, dt_softplus, dt_limit, res, g):
     import numpy as _np
 
-    x, dt, A, B_, C, D, dt_bias, seq_idx = res
+    x, dt, A, B_, C, D, dt_bias, seq_idx, hin = res
+    gseq = _np.zeros(seq_idx.shape, jax.dtypes.float0)
+
+    if hin is not None:
+        gy, gstate = g
+        gx, gdt, gA, gB, gC, gD, gdtb = _ssd_pallas_bwd(
+            x, dt, A, B_, C, D, dt_bias, seq_idx, hin, gy, gstate,
+            chunk_size, dt_softplus, dt_limit,
+        )
+        return (gx.astype(x.dtype), gdt.astype(dt.dtype), gA.astype(A.dtype),
+                gB.astype(B_.dtype), gC.astype(C.dtype), gD, gdtb, gseq)
 
     def ref(x, dt, A, B_, C, D, dt_bias):
         return ssd_chunked(
@@ -318,8 +746,6 @@ def _ssd_core_bwd(chunk_size, dt_softplus, dt_limit, res, g):
 
     _, vjp = jax.vjp(ref, x, dt, A, B_, C, D, dt_bias)
     gx, gdt, gA, gB, gC, gD, gdtb = vjp(g)
-    # integer-typed seq_idx gets a float0 cotangent
-    gseq = _np.zeros(seq_idx.shape, jax.dtypes.float0)
     return gx, gdt, gA, gB, gC, gD, gdtb, gseq
 
 

@@ -287,6 +287,13 @@ def convert_internvideo2(
     ls2.gamma}.
     """
     sd = {re.sub(r"^(vision_tower\.|model\.)", "", k): v for k, v in sd.items()}
+
+    def _ls(pre, name):
+        # real checkpoints: LayerScale stores `weight` (vit_scale_clean.py
+        # :170); `gamma` accepted for timm-style dumps
+        v = sd.get(f"{pre}.{name}.weight", sd.get(f"{pre}.{name}.gamma"))
+        return {"gamma": v.astype(np.float32)}
+
     layers = []
     for i in range(cfg.effective_depth):
         pre = f"blocks.{i}"
@@ -300,13 +307,13 @@ def convert_internvideo2(
                     np.float32)},
                 "proj": _lin(sd, f"{pre}.attn.proj", dtype),
             },
-            "ls1": {"gamma": sd[f"{pre}.ls1.gamma"].astype(np.float32)},
+            "ls1": _ls(pre, "ls1"),
             "norm2": {"weight": sd[f"{pre}.norm2.weight"].astype(np.float32)},
             "mlp": {
                 "fc1": _lin(sd, f"{pre}.mlp.fc1", dtype),
                 "fc2": _lin(sd, f"{pre}.mlp.fc2", dtype),
             },
-            "ls2": {"gamma": sd[f"{pre}.ls2.gamma"].astype(np.float32)},
+            "ls2": _ls(pre, "ls2"),
         })
     pe = sd["patch_embed.proj.weight"]  # (D, 3, t, ps, ps) conv3d
     D_, _, t, ps, _ = pe.shape
@@ -314,15 +321,55 @@ def convert_internvideo2(
     # (t, ps, ps, 3) ordering per spatial-temporal unfold -> (t*ps*ps*3, D)
     kernel = np.ascontiguousarray(
         pe.transpose(2, 3, 4, 1, 0).reshape(t * ps * ps * 3, D_))
-    return {
+
+    # position table: checkpoints are pretrained at `pretrain_t_size`
+    # temporal positions / their own spatial grid; interpolate to the
+    # configured frames/resolution (reference pos_embed.py:125-203, applied
+    # at load in internvideo2/backbone.py)
+    pos = sd["pos_embed"].astype(np.float32)
+    target_t = cfg.num_frames // cfg.tubelet_size
+    target_tokens = target_t * cfg.grid_size**2 + 1
+    if pos.shape[1] != target_tokens:
+        from timeviper_tpu.models.internvideo2 import interpolate_pos_embed
+
+        orig_t = getattr(cfg, "pretrain_t_size", 8)
+        if (pos.shape[1] - 1) % orig_t != 0:
+            orig_t = target_t  # spatial-only mismatch
+        pos = interpolate_pos_embed(
+            pos, orig_t=orig_t, new_t=target_t, new_grid=cfg.grid_size)
+
+    out = {
         "patch_embed": {
             "kernel": kernel.astype(dtype),
             "bias": sd["patch_embed.proj.bias"].astype(dtype),
         },
         "cls_token": sd["cls_token"].astype(np.float32),
-        "pos_embed": sd["pos_embed"].astype(np.float32),
+        "pos_embed": pos,
         "layers": layers,
     }
+    if "clip_projector.cross_attn.q.weight" in sd:
+        cp = "clip_projector"
+
+        def _ln(name):
+            return {"weight": sd[f"{cp}.{name}.weight"].astype(np.float32),
+                    "bias": sd[f"{cp}.{name}.bias"].astype(np.float32)}
+
+        def _qkv(name):
+            # CrossAttention stores bias separately as `{q,k,v}_bias`
+            # (vit_scale_clean.py:46-57)
+            p = {"kernel": np.ascontiguousarray(
+                sd[f"{cp}.cross_attn.{name}.weight"].T).astype(dtype)}
+            bias = sd.get(f"{cp}.cross_attn.{name}_bias")
+            p["bias"] = (bias.astype(dtype) if bias is not None else None)
+            return p
+
+        out["attn_pool"] = {
+            "norm1_q": _ln("norm1_q"), "norm1_k": _ln("norm1_k"),
+            "norm1_v": _ln("norm1_v"),
+            "q": _qkv("q"), "k": _qkv("k"), "v": _qkv("v"),
+            "proj": _lin(sd, f"{cp}.cross_attn.proj", dtype),
+        }
+    return out
 
 
 def convert_projector(

@@ -12,19 +12,31 @@ import os
 
 
 def _machine_key() -> str:
-    """Key the cache by CPU feature set: AOT entries from a different
-    microarch load with mismatched instruction selection (numerically
-    divergent, SIGILL-prone)."""
+    """Key the cache by CPU model + feature set + jaxlib version: AOT
+    entries from a different microarch (or a different XLA, which also
+    bakes tuning prefs like +prefer-no-gather into the target) load with
+    mismatched instruction selection — numerically divergent, SIGILL-prone.
+    The `flags` line alone proved insufficient (same flags, different
+    model → different XLA target prefs)."""
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:12]
+                if line.startswith(("flags", "model name")):
+                    parts.append(line.strip())
+                    if len(parts) == 2:
+                        break
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:12]
+        parts.append(platform.processor())
+    try:
+        import jaxlib
+
+        parts.append(jaxlib.__version__)
+    except Exception:
+        pass
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
