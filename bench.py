@@ -27,6 +27,7 @@ BENCH_STEPS (1 e2e / 3 prefill) + the prefill-mode knobs below.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -90,7 +91,7 @@ def bench_e2e():
     L = F * tokens_per_frame
     Lpad = -(-L // 1024) * 1024
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def prefill(lparams, embeds):
         out = nano_forward(lparams, lcfg, inputs_embeds=embeds,
                            logits_to_keep=1)
@@ -104,6 +105,7 @@ def bench_e2e():
         _sync(clips[-1])  # vision phase boundary
         t1 = time.perf_counter()
         embeds = jnp.concatenate(clips, axis=1)[:, :L]
+        clips.clear()  # free 0.7 GB of clip buffers before the prefill
         embeds = jnp.pad(embeds, ((0, 0), (0, Lpad - L), (0, 0)))
         logits = prefill(lparams, embeds)
         _sync(logits)

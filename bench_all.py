@@ -144,6 +144,56 @@ def bench_ssd_op(results):
         })
 
 
+def bench_serving(results):
+    """Serving throughput under mixed load: 16 requests, prompt lengths
+    512..4096, 32 new tokens each, 8 slots — measures the pipelined
+    prefill+decode scheduling (requests/s and output tokens/s)."""
+    import time
+
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig, VLMConfig, tiny_vit_config
+    from timeviper_tpu.models.vlm import VLMArch, init_vlm_params
+    from timeviper_tpu.serving.engine import Request, ServingEngine
+    from timeviper_tpu.train.quantize import quantize_params_int8
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    lcfg = NanoConfig(
+        num_hidden_layers=26, hybrid_override_pattern=(full * 2)[:26],
+        vocab_size=2048)
+    arch = VLMArch(vlm=VLMConfig(arch_specifier="tome_mlp-16"),
+                   vision=tiny_vit_config(), llm=lcfg, llm_family="nano")
+    import jax as _jax
+
+    params = _jax.jit(
+        lambda k: quantize_params_int8(init_vlm_params(k, arch,
+                                                       dtype=jnp.bfloat16))
+    )(_jax.random.PRNGKey(0))
+    eng = ServingEngine(params, arch, terminator_ids=[-2], num_slots=8,
+                        max_len=8192, max_new_tokens=32)
+    rng = np.random.default_rng(0)
+    lengths = [int(rng.integers(512, 4096)) for _ in range(16)]
+    reqs = [Request(request_id=i,
+                    input_ids=rng.integers(3, 2000, (n,)).tolist(),
+                    max_new_tokens=32)
+            for i, n in enumerate(lengths)]
+    # warmup compiles (buckets + decode step)
+    eng.run([Request(request_id=99, input_ids=[5] * 600, max_new_tokens=2),
+             Request(request_id=98, input_ids=[5] * 3000, max_new_tokens=2)])
+    t0 = time.perf_counter()
+    done = eng.run(reqs)
+    dt = time.perf_counter() - t0
+    out_toks = sum(len(r.output_ids) for r in done if not r.error)
+    results.append({
+        "metric": "serving_26L_int8_mixed_16req",
+        "value": round(len(reqs) / dt, 2), "unit": "requests/sec",
+        "output_tokens_per_sec": round(out_toks / dt, 1),
+        "prompt_tokens": sum(lengths), "new_tokens_per_req": 32,
+    })
+
+
 def bench_vision(results):
     import jax
     import jax.numpy as jnp
@@ -170,6 +220,52 @@ def bench_vision(results):
         "metric": "siglip_so400m_384_encode_tome16",
         "value": round(F / dt, 1), "unit": "frames/sec",
     })
+
+
+def bench_train(results):
+    """Measured (not extrapolated) backbone train step: loss+grad with
+    per-block remat, Pallas SSD fwd+bwd kernels. Full 52-layer depth at
+    hidden=2048 (9B-scale bf16 params + grads exceed the 16 GB chip) and
+    13L at hidden=4096 (the round-1 extrapolation basis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.models.nano import init_nano_params, nano_forward
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    L = 8192
+    for n_layers, hidden in ((52, 2048), (13, 4096)):
+        cfg = NanoConfig(
+            num_hidden_layers=n_layers,
+            hybrid_override_pattern=(full * 3)[:n_layers],
+            hidden_size=hidden,
+            intermediate_size=hidden * 21504 // 4096,
+            mamba_num_heads=hidden // 32,
+            vocab_size=2048,
+        )
+        params = jax.jit(lambda k, c=cfg: init_nano_params(
+            k, c, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+        ids = jnp.zeros((1, L), jnp.int32)
+
+        def loss_fn(params, c=cfg):
+            out = nano_forward(params, c, input_ids=ids, remat=True)
+            lp = jax.nn.log_softmax(out["logits"][:, :-1], axis=-1)
+            return -jnp.take_along_axis(
+                lp, ids[:, 1:, None], axis=-1).mean()
+
+        step = jax.jit(jax.grad(loss_fn))
+        try:
+            dt = _timeit(lambda: _sync(step(params)["norm_f"]["weight"]))
+            results.append({
+                "metric": f"train_fwdbwd_{n_layers}L_h{hidden}_{L}tok",
+                "value": round(L / dt, 1), "unit": "tokens/sec",
+            })
+        except Exception as e:  # noqa: BLE001
+            results.append({
+                "metric": f"train_fwdbwd_{n_layers}L_h{hidden}",
+                "error": f"{type(e).__name__}: {str(e)[:100]}"})
+        del params, step
 
 
 def check_onchip(results):
@@ -292,7 +388,8 @@ def main():
         for r in results:
             print(json.dumps(r))
         return
-    for fn in (bench_prefill, bench_decode, bench_ssd_op, bench_vision):
+    for fn in (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
+               bench_serving, bench_train):
         try:
             fn(results)
         except Exception as e:  # noqa: BLE001

@@ -82,3 +82,54 @@ def test_soda_dvc():
     }]
     assert evaluate_youcook2_dvc(good)["SODA_c"] > 50
     assert evaluate_youcook2_dvc(bad)["SODA_c"] == 0.0
+
+
+def test_ptb_tokenizer_golden():
+    """Pinned Penn-Treebank tokenizations (the sed-script algorithm
+    Stanford PTBTokenizer implements), post punctuation-removal exactly
+    as the reference wrapper does (eval/metrics/ptbtokenizer.py:60-117)."""
+    from timeviper_tpu.eval.ptb import ptb_tokenize
+
+    cases = {
+        "A man doesn't like the dog.":
+            ["a", "man", "does", "n't", "like", "the", "dog"],
+        "It's a well-known fact, isn't it?":
+            ["it", "'s", "a", "well-known", "fact", "is", "n't", "it"],
+        "They cannot swim (yet).":
+            ["they", "can", "not", "swim", "yet"],
+        'He said "hello there" twice...':
+            ["he", "said", "hello", "there", "twice"],
+        "We're gonna cook pasta; then we'll eat it!":
+            ["we", "'re", "gon", "na", "cook", "pasta", "then", "we",
+             "'ll", "eat", "it"],
+        "the chef adds 1,500 ml of water at 3:30":
+            ["the", "chef", "adds", "1,500", "ml", "of", "water",
+             "at", "3:30"],
+    }
+    for text, want in cases.items():
+        assert ptb_tokenize(text) == want, (text, ptb_tokenize(text))
+
+
+def test_cider_fixture_pinned():
+    import pytest
+    """CIDEr-D on a small fixture, pinned to the pycocoevalcap-semantics
+    value computed with this scorer (guards the tokenizer+scorer pair
+    against regressions)."""
+    from timeviper_tpu.eval.cider import CiderScorer
+
+    gts = {
+        "a": ["a man is cooking pasta in a kitchen",
+              "someone cooks noodles"],
+        "b": ["a dog doesn't catch the ball",
+              "the dog misses a well-thrown ball"],
+        "c": ["children play football on a field",
+              "kids are playing soccer outside"],
+    }
+    res = {
+        "a": ["a man is cooking pasta"],
+        "b": ["the dog doesn't catch the ball"],
+        "c": ["children play soccer on a field"],
+    }
+    score, per = CiderScorer().compute_score(gts, res)
+    assert len(per) == 3
+    assert score == pytest.approx(expected=6.2762, abs=2e-3)

@@ -323,3 +323,55 @@ def test_bucketed_pdrop_generation_shares_executable():
     after = {k for k in _EXECUTABLE_CACHE if k[0] == "prefill_pdrop"}
     assert out1.num_generated == 2 and out2.num_generated == 2
     assert len(after - before) == 1, (after - before)
+
+
+def test_transv_decode_ca_kv_cache():
+    """Decode-time TransV (reference past_key_value_ca semantics): the
+    prefill caches the dropped tokens' cross-attn K/V; each decode step
+    re-merges against them at the stage layer."""
+    from timeviper_tpu.models.nano import (
+        init_nano_params,
+        nano_decode_step,
+        nano_forward,
+    )
+    from timeviper_tpu.models.pdrop import (
+        _ca_kv,
+        _merge_dropped,
+        merge_dropped_cached,
+    )
+
+    cfg = tiny_nano_config(
+        use_pdrop=True, pdrop_type="uni_1_0.5", merge_module="CrossAttention",
+    )
+    merge = init_merge_modules(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    merge = [dict(m, alpha=jnp.asarray(0.7)) if m else m for m in merge]
+    D = cfg.hidden_size
+
+    # function-level parity: cached-KV merge == direct merge on one token
+    text = jax.random.normal(jax.random.PRNGKey(2), (1, D))
+    dropped = jax.random.normal(jax.random.PRNGKey(3), (4, D))
+    want = _merge_dropped(text, dropped, merge[0], cfg)
+    kv = _ca_kv(dropped, merge[0], cfg)
+    got = merge_dropped_cached(text[None], kv, merge[0], cfg)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # end-to-end: prefill with fill_cache exposes ca_kv; decode with the
+    # merge params differs from decode without (the merge has effect)
+    params = init_nano_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    spec = make_pdrop_spec([(2, 8, 6)], cfg.pdrop_stages)
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (1, 16, D))
+    out = nano_forward(
+        params, cfg, inputs_embeds=embeds, pdrop_spec=spec,
+        pdrop_params=merge, fill_cache=True, cache_max_len=32)
+    assert "ca_kv" in out["cache"], "prefill must cache cross-attn KV"
+    assert out["cache"]["ca_kv"][0]["k"].shape[0] == 4  # 8 - keep(4)
+
+    tok = jnp.asarray([[3]], jnp.int32)
+    logits_merge, c2 = nano_decode_step(
+        params, cfg, tok, out["cache"], pdrop_params=merge)
+    logits_plain, _ = nano_decode_step(params, cfg, tok, out["cache"])
+    assert np.isfinite(np.asarray(logits_merge)).all()
+    assert not np.allclose(np.asarray(logits_merge),
+                           np.asarray(logits_plain))
+    assert "ca_kv" in c2  # carried for subsequent steps

@@ -9,15 +9,17 @@ from the reference-corpus documents, matching pycocoevalcap semantics.
 from __future__ import annotations
 
 import math
-import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence, Tuple
 
-_PUNCT = re.compile(r"[^\w\s]")
+from timeviper_tpu.eval.ptb import ptb_tokenize
 
 
 def tokenize(s: str) -> List[str]:
-    return _PUNCT.sub("", s.lower()).split()
+    """PTB tokenization with punctuation removal — the reference pipes
+    captions through Stanford PTBTokenizer before scoring
+    (eval/metrics/ptbtokenizer.py); see eval/ptb.py."""
+    return ptb_tokenize(s)
 
 
 def _ngrams(tokens: Sequence[str], n_max: int = 4) -> Dict[int, Counter]:

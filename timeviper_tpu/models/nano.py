@@ -448,16 +448,23 @@ def nano_forward(
     stages = cfg.pdrop_stages if pdrop_spec is not None else ()
     stage_by_layer = {s.layer: (i, s) for i, s in enumerate(stages)}
 
+    ca_kvs: List[Any] = []
     for idx, block_type in enumerate(cfg.layers_block_type):
         if idx in stage_by_layer and pdrop_spec is not None:
             stage_idx, stage = stage_by_layer[idx]
-            hidden, labels, seq_idx, pdrop_spec = apply_pdrop_stage(
+            res = apply_pdrop_stage(
                 hidden, labels, seq_idx, pdrop_spec, stage, stage_idx,
                 cfg=cfg,
                 attn_params=params["layers"][idx]["mixer"]
                 if stage.compress_type == "attn" else None,
                 merge_params=pdrop_params,
+                return_ca_kv=fill_cache,
             )
+            if fill_cache:
+                hidden, labels, seq_idx, pdrop_spec, ca_kv = res
+                ca_kvs.append(ca_kv if ca_kv is not None else {})
+            else:
+                hidden, labels, seq_idx, pdrop_spec = res
             L = hidden.shape[1]
         layer_params = params["layers"][idx]
 
@@ -488,6 +495,11 @@ def nano_forward(
             "length": jnp.asarray(L, jnp.int32),
             "valid_from": jnp.asarray(valid_from, jnp.int32),
         }
+        if ca_kvs:
+            # TransV cross-attn K/V of the dropped tokens, per pdrop stage
+            # — decode steps re-merge against these (cross_attention.py
+            # past_key_value_ca semantics)
+            out["cache"]["ca_kv"] = ca_kvs
     return out
 
 
@@ -513,12 +525,33 @@ def nano_decode_step(
     cfg: NanoConfig,
     input_ids: jax.Array,
     cache: Dict[str, Any],
+    pdrop_params=None,
 ):
-    """One decode step. input_ids: (B, 1). Returns (logits (B, V), cache)."""
+    """One decode step. input_ids: (B, 1). Returns (logits (B, V), cache).
+
+    When the prefill ran pdrop+TransV with `fill_cache`, `cache["ca_kv"]`
+    holds the dropped tokens' cross-attn K/V per stage; with the merge
+    params passed, each new token re-merges the dropped information at the
+    stage's layer (decode-time TransV, cross_attention.py:218-324)."""
     hidden = jnp.take(params["embeddings"], input_ids, axis=0)
     length = cache["length"]
+    ca_by_layer = {}
+    ca_kvs = cache.get("ca_kv")
+    if ca_kvs is not None and pdrop_params is not None:
+        from timeviper_tpu.models.pdrop import merge_dropped_cached
+
+        for si, st in enumerate(cfg.pdrop_stages):
+            if (si < len(ca_kvs) and ca_kvs[si]
+                    and si < len(pdrop_params)
+                    and pdrop_params[si] is not None):
+                ca_by_layer[st.layer] = (ca_kvs[si], pdrop_params[si])
     new_layers = []
     for idx, block_type in enumerate(cfg.layers_block_type):
+        if idx in ca_by_layer:
+            from timeviper_tpu.models.pdrop import merge_dropped_cached
+
+            kv, mp = ca_by_layer[idx]
+            hidden = merge_dropped_cached(hidden, kv, mp, cfg)
         layer_params = params["layers"][idx]
         residual = hidden
         normed = rms_norm(hidden, layer_params["norm"]["weight"],
@@ -540,8 +573,11 @@ def nano_decode_step(
     hidden = rms_norm(hidden, params["norm_f"]["weight"],
                       eps=cfg.layer_norm_epsilon)
     logits = compute_logits(params, hidden[:, 0])
-    return logits, {
+    new_cache = {
         "layers": new_layers,
         "length": length + 1,
         "valid_from": cache.get("valid_from", jnp.zeros((), jnp.int32)),
     }
+    if ca_kvs is not None:
+        new_cache["ca_kv"] = ca_kvs
+    return logits, new_cache

@@ -155,6 +155,49 @@ def _merge_dropped(
     return text_feats + jnp.tanh(alpha) * out
 
 
+def _ca_kv(dropped_feats: jax.Array, merge_stage_params, cfg):
+    """Project the dropped tokens' cross-attention K/V once at prefill;
+    decode steps reuse them (the reference's `past_key_value_ca.check`
+    cache, merge_modules/cross_attention.py:261-279)."""
+    p = merge_stage_params["cross_attn"]
+    Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+
+    def proj(pp, x):
+        y = x @ pp["kernel"].astype(x.dtype)
+        if pp.get("bias") is not None:
+            y = y + pp["bias"].astype(y.dtype)
+        return y
+
+    Nd = dropped_feats.shape[0]
+    return {"k": proj(p["k_proj"], dropped_feats).reshape(Nd, Hkv, hd),
+            "v": proj(p["v_proj"], dropped_feats).reshape(Nd, Hkv, hd)}
+
+
+def merge_dropped_cached(hidden: jax.Array, ca_kv, merge_stage_params, cfg):
+    """Decode-time TransV: newly generated tokens (B, 1, D) cross-attend
+    onto the CACHED dropped-token K/V with the same alpha.tanh() gate the
+    prefill merge used (cross_attention.py:218-324 decode reuse)."""
+    p = merge_stage_params["cross_attn"]
+    Hq, hd = cfg.num_attention_heads, cfg.head_dim
+    B = hidden.shape[0]
+
+    def proj(pp, x):
+        y = x @ pp["kernel"].astype(x.dtype)
+        if pp.get("bias") is not None:
+            y = y + pp["bias"].astype(y.dtype)
+        return y
+
+    q = proj(p["q_proj"], hidden).reshape(B, 1, Hq, hd)
+    k = jnp.broadcast_to(ca_kv["k"][None].astype(hidden.dtype),
+                         (B, *ca_kv["k"].shape))
+    v = jnp.broadcast_to(ca_kv["v"][None].astype(hidden.dtype),
+                         (B, *ca_kv["v"].shape))
+    out = cross_attention(q, k, v)
+    out = proj(p["o_proj"], out.reshape(B, 1, Hq * hd))
+    alpha = merge_stage_params["alpha"].astype(hidden.dtype)
+    return hidden + jnp.tanh(alpha) * out
+
+
 def _keep_indices(stage, spec, samp, sample_hidden, sample_labels, keep,
                   cur_nv, *, cfg, attn_params):
     """Ranked keep indices (sorted, static count `keep`) for one sample."""
@@ -177,7 +220,7 @@ def _keep_indices(stage, spec, samp, sample_hidden, sample_labels, keep,
 
 def _apply_stage_dynamic(
     hidden, labels, seq_idx, spec, stage, stage_idx, *, cfg, attn_params,
-    stage_merge,
+    stage_merge, return_ca_kv=False,
 ):
     """Single-sample pdrop stage where the layout is TRACED data.
 
@@ -216,6 +259,7 @@ def _apply_stage_dynamic(
     new_seq = (jnp.take(seq_idx[0], src, axis=0)[None]
                if seq_idx is not None else None)
 
+    ca_kv = None
     if stage_merge is not None and n_drop > 0:
         vision = jax.lax.dynamic_slice_in_dim(h, vs, cur_nv, axis=0)
         kept_mask = jnp.zeros((cur_nv,), jnp.int32).at[keep_idx].set(1)
@@ -225,12 +269,16 @@ def _apply_stage_dynamic(
         merged = _merge_dropped(new_h, dropped, stage_merge, cfg)
         suffix = (jnp.arange(L_new) >= vs + keep)[:, None]
         new_h = jnp.where(suffix, merged, new_h)
+        if return_ca_kv:
+            ca_kv = _ca_kv(dropped, stage_merge, cfg)
 
     new_qp = samp.query_pos - n_drop if samp.query_pos is not None else None
     new_spec = replace(
         spec,
         samples=(replace(samp, num_vision=keep, query_pos=new_qp),),
     )
+    if return_ca_kv:
+        return new_h[None], new_labels, new_seq, new_spec, ca_kv
     return new_h[None], new_labels, new_seq, new_spec
 
 
@@ -245,6 +293,7 @@ def apply_pdrop_stage(
     cfg,
     attn_params: Optional[Dict[str, Any]],
     merge_params: Optional[List[Optional[Dict[str, Any]]]],
+    return_ca_kv: bool = False,
 ):
     """Run one pdrop stage over every sample in the packed row.
 
@@ -263,6 +312,7 @@ def apply_pdrop_stage(
         return _apply_stage_dynamic(
             hidden, labels, seq_idx, spec, stage, stage_idx, cfg=cfg,
             attn_params=attn_params, stage_merge=stage_merge_shared,
+            return_ca_kv=return_ca_kv,
         )
     D = hidden.shape[-1]
     ratios = spec.ratios
@@ -272,6 +322,7 @@ def apply_pdrop_stage(
     stage_merge = None
     if merge_params is not None and stage_idx < len(merge_params):
         stage_merge = merge_params[stage_idx]
+    ca_kv_out = None  # single-sample only; packed rows are train-only
 
     for si, samp in enumerate(spec.samples):
         Ls = samp.length
@@ -315,6 +366,8 @@ def apply_pdrop_stage(
             dropped_idx = jnp.sort(dropped_idx)
             dropped = jnp.take(vision, dropped_idx, axis=0)
             suffix = _merge_dropped(suffix, dropped, stage_merge, cfg)
+            if return_ca_kv and len(spec.samples) == 1:
+                ca_kv_out = _ca_kv(dropped, stage_merge, cfg)
 
         h_parts.append(jnp.concatenate([prefix, kept_vision, suffix], axis=0))
         if sl is not None:
@@ -338,6 +391,8 @@ def apply_pdrop_stage(
         jnp.concatenate(s_parts, axis=0)[None] if seq_idx is not None else None
     )
     new_spec = replace(spec, samples=tuple(new_samples))
+    if return_ca_kv:
+        return new_hidden, new_labels, new_seq_idx, new_spec, ca_kv_out
     return new_hidden, new_labels, new_seq_idx, new_spec
 
 

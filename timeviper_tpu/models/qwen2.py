@@ -167,17 +167,24 @@ def qwen2_forward(
     stage_by_layer = {s.layer: (i, s) for i, s in enumerate(stages)}
 
     new_layers = []
+    ca_kvs = []
     for idx in range(cfg.num_hidden_layers):
         lp = params["layers"][idx]
         if idx in stage_by_layer and pdrop_spec is not None:
             stage_idx, stage = stage_by_layer[idx]
-            hidden, labels, seq_idx, pdrop_spec = apply_pdrop_stage(
+            res_pd = apply_pdrop_stage(
                 hidden, labels, seq_idx, pdrop_spec, stage, stage_idx,
                 cfg=cfg,
                 attn_params=lp["self_attn"]
                 if stage.compress_type == "attn" else None,
                 merge_params=pdrop_params,
+                return_ca_kv=fill_cache,
             )
+            if fill_cache:
+                hidden, labels, seq_idx, pdrop_spec, ca_kv = res_pd
+                ca_kvs.append(ca_kv if ca_kv is not None else {})
+            else:
+                hidden, labels, seq_idx, pdrop_spec = res_pd
             L = hidden.shape[1]
             pos = build_positions(seq_idx, L)
             attn_mask = build_mask(seq_idx, L)
@@ -212,6 +219,8 @@ def qwen2_forward(
             "length": jnp.asarray(L, jnp.int32),
             "valid_from": jnp.asarray(valid_from, jnp.int32),
         }
+        if ca_kvs:
+            out["cache"]["ca_kv"] = ca_kvs
     return out
 
 
@@ -234,6 +243,7 @@ def qwen2_decode_step(
     input_ids: jax.Array,
     cache: Dict[str, Any],
     position_offset: Optional[jax.Array] = None,
+    pdrop_params=None,
 ):
     """One decode step.
 
@@ -252,10 +262,23 @@ def qwen2_decode_step(
     if position_offset is not None:
         pos = pos - position_offset
     cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+    ca_by_layer = {}
+    ca_kvs = cache.get("ca_kv")
+    if ca_kvs is not None and pdrop_params is not None:
+        for si, st in enumerate(cfg.pdrop_stages):
+            if (si < len(ca_kvs) and ca_kvs[si]
+                    and si < len(pdrop_params)
+                    and pdrop_params[si] is not None):
+                ca_by_layer[st.layer] = (ca_kvs[si], pdrop_params[si])
     new_layers = []
     Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     for idx in range(cfg.num_hidden_layers):
         lp = params["layers"][idx]
+        if idx in ca_by_layer:
+            from timeviper_tpu.models.pdrop import merge_dropped_cached
+
+            kv, mp = ca_by_layer[idx]
+            hidden = merge_dropped_cached(hidden, kv, mp, cfg)
         res = hidden
         n = rms_norm(hidden, lp["input_layernorm"]["weight"], cfg.rms_norm_eps)
         q = _apply_linear(lp["self_attn"]["q_proj"], n).reshape(B, 1, Hq, hd)
@@ -280,8 +303,11 @@ def qwen2_decode_step(
         new_layers.append({"k": k, "v": v})
     hidden = rms_norm(hidden, params["norm_f"]["weight"], cfg.rms_norm_eps)
     logits = compute_logits(params, hidden[:, 0])
-    return logits, {
+    new_cache = {
         "layers": new_layers,
         "length": length + 1,
         "valid_from": cache.get("valid_from", jnp.zeros((), jnp.int32)),
     }
+    if ca_kvs is not None:
+        new_cache["ca_kv"] = ca_kvs
+    return logits, new_cache

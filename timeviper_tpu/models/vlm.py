@@ -389,8 +389,12 @@ def init_cache(arch: VLMArch, batch_size: int, max_len: int, dtype=jnp.bfloat16)
 
 
 def decode_step(params, arch: VLMArch, token: jax.Array, cache):
+    # TransV merge params ride along so pdrop generations re-merge dropped
+    # tokens at decode (no-op unless the prefill cached ca_kv)
+    merge = params.get("merge_modules")
     if arch.llm_family == "nano":
         return nano_mod.nano_decode_step(
-            params["llm_backbone"], arch.llm, token, cache)
+            params["llm_backbone"], arch.llm, token, cache,
+            pdrop_params=merge)
     return qwen2_mod.qwen2_decode_step(
-        params["llm_backbone"], arch.llm, token, cache)
+        params["llm_backbone"], arch.llm, token, cache, pdrop_params=merge)

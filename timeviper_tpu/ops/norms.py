@@ -40,17 +40,33 @@ def gated_rms_norm(
     ``group_size`` channels (d_inner / n_groups).
     """
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    if gate is not None:
-        gf = gate.astype(jnp.float32)
-        xf = xf * (gf * jax.nn.sigmoid(gf))
-    if group_size is None or group_size == x.shape[-1]:
-        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-        y = xf * jax.lax.rsqrt(var + eps)
-    else:
-        d = x.shape[-1]
-        assert d % group_size == 0, (d, group_size)
+    d = x.shape[-1]
+    if group_size is None:
+        group_size = d
+    assert d % group_size == 0, (d, group_size)
+
+    if dtype == jnp.float32:
+        # exact float32 path (CPU tests / f32 runs)
+        xf = x
+        if gate is not None:
+            xf = xf * (gate * jax.nn.sigmoid(gate))
         xg = xf.reshape(*x.shape[:-1], d // group_size, group_size)
         var = jnp.mean(jnp.square(xg), axis=-1, keepdims=True)
         y = (xg * jax.lax.rsqrt(var + eps)).reshape(x.shape)
-    return (y * weight.astype(jnp.float32)).astype(dtype)
+        return y * weight.astype(jnp.float32)
+
+    # Low-precision inputs: only the variance REDUCTION runs in f32 (cast
+    # fuses into the reduce); the elementwise chain stays in the input
+    # dtype. The f32-everything version materialized three full-width f32
+    # temporaries — 7.4 GB at L=80k on the 9B config, the difference
+    # between the 5k-frame prefill fitting in 16 GB HBM or not. The
+    # reference Triton kernel (layernorm_gated.py) likewise loads bf16 and
+    # keeps only accumulators in f32.
+    xz = x
+    if gate is not None:
+        xz = x * (gate * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(dtype))
+    xg = xz.reshape(*x.shape[:-1], d // group_size, group_size)
+    var = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jax.lax.rsqrt(var + eps)
+    y = (xg * scale.astype(dtype)).reshape(x.shape)
+    return y * weight.astype(dtype)

@@ -43,8 +43,9 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
     s = jnp.where(jj < t_valid, s, -jnp.inf)
     m = jnp.max(s, axis=1, keepdims=True)
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    p = (p / l).astype(q.dtype)
+    # reciprocal-multiply: a full (T, T) divide is ~10x the VPU cost of mul
+    l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+    p = (p * l_inv).astype(q.dtype)
     o_ref[...] = jax.lax.dot_general(
         p, v_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -42,7 +42,8 @@ from timeviper_tpu.models.nano import (
 from timeviper_tpu.ops.attention import attention, make_attention_mask
 from timeviper_tpu.ops.conv import causal_conv1d
 from timeviper_tpu.ops.norms import gated_rms_norm, rms_norm
-from timeviper_tpu.ops.ssd import _process_dt, ssd_chunked
+from timeviper_tpu.ops.ssd import _process_dt
+from timeviper_tpu.ops.ssd_pallas import ssd_auto
 
 
 # ---------------------------------------------------------------------------
@@ -67,8 +68,10 @@ def ssd_seq_sharded(
     """Per-device SSD with cross-device state composition (see module doc)."""
     H = x.shape[2]
 
-    # 1. local scan, zero init
-    y_local, state_local = ssd_chunked(
+    # 1. local scan, zero init — ssd_auto: the compiled Pallas kernel on
+    # TPU (shard_map bodies run per-device programs, so the kernel sees
+    # only the local span), jnp chunked scan elsewhere
+    y_local, state_local = ssd_auto(
         x, dt, A, B_, C, chunk_size=chunk_size, D=D, dt_bias=dt_bias,
         dt_softplus=dt_softplus, dt_limit=dt_limit,
         return_final_state=True,
@@ -119,18 +122,38 @@ def attention_seq_sharded(
     v: jax.Array,
     *,
     axis_name: str,
+    q_chunk: int = 1024,
 ) -> jax.Array:
-    """Causal attention with local queries against all-gathered global KV."""
+    """Causal attention with local queries against all-gathered global KV.
+
+    Long sequences stream the local queries in chunks (lax.map) so the
+    (Lloc, L) score matrix never materializes whole — O(q_chunk · L)
+    memory, which is what lets the 8k-tokens/device dryrun and CPU
+    long-context fallback run at all."""
     B, Lloc = q.shape[:2]
     ndev = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     kg = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)  # (B, L, ...)
     vg = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
     L = Lloc * ndev
-    q_pos = my * Lloc + jnp.arange(Lloc)
     kv_pos = jnp.arange(L)
-    mask = q_pos[:, None] >= kv_pos[None, :]  # (Lloc, L) causal
-    return attention(q, kg, vg, mask[None])
+    if Lloc <= q_chunk or Lloc % q_chunk != 0:
+        q_pos = my * Lloc + jnp.arange(Lloc)
+        mask = q_pos[:, None] >= kv_pos[None, :]  # (Lloc, L) causal
+        return attention(q, kg, vg, mask[None])
+
+    nchunk = Lloc // q_chunk
+    qc = q.reshape(B, nchunk, q_chunk, *q.shape[2:])
+    qc = jnp.moveaxis(qc, 1, 0)  # (nchunk, B, q_chunk, Hq, hd)
+
+    def one_chunk(args):
+        qi, ci = args
+        q_pos = my * Lloc + ci * q_chunk + jnp.arange(q_chunk)
+        mask = q_pos[:, None] >= kv_pos[None, :]
+        return attention(qi, kg, vg, mask[None])
+
+    out = jax.lax.map(one_chunk, (qc, jnp.arange(nchunk)))
+    return jnp.moveaxis(out, 0, 1).reshape(B, Lloc, *out.shape[3:])
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +241,47 @@ def nano_prefill_seq_parallel(
         check_rep=False,
     )
     return fn(params, inputs_embeds)
+
+
+def encode_frames_seq_parallel(
+    vparams: Dict[str, Any],
+    pparams: Dict[str, Any],
+    vcfg,
+    pixels: jax.Array,  # (F, H, W, 3); F divisible by mesh seq size
+    mesh: Mesh,
+    *,
+    projector_type: str = "tome_mlp",
+    num_compressed_tokens: int = 16,
+) -> jax.Array:
+    """Vision encode + ToMe + projector sharded over the `seq` axis.
+
+    ToMe merges within a frame (tome.py:86-177) and the projector is
+    per-token, so the whole vision stage is frame-local: each device
+    encodes its span of frames and emits its local span of fused visual
+    tokens — the exact sharding `nano_prefill_seq_parallel` consumes, with
+    ZERO collectives (the north star's "visual tokens over ICI",
+    BASELINE.md). Returns (1, F*num_compressed_tokens, llm_dim) sharded
+    along axis 1."""
+    from jax.experimental.shard_map import shard_map
+
+    from timeviper_tpu.models.projector import projector_forward
+    from timeviper_tpu.models.vit import vit_forward
+
+    def local(vp, pp, px):
+        feats = vit_forward(vp, vcfg, px)  # (Floc, patches, vdim)
+        proj = projector_forward(
+            pp, feats, projector_type=projector_type,
+            num_compressed_tokens=num_compressed_tokens)
+        Floc, T_, D_ = proj.shape
+        return proj.reshape(1, Floc * T_, D_)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P("seq", None, None, None)),
+        out_specs=P(None, "seq", None),
+        check_rep=False,
+    )
+    return fn(vparams, pparams, pixels)
 
 
 def _halo_conv(x, conv_params, cfg, axis_name):

@@ -108,7 +108,14 @@ class ServingEngine:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
-    def _prefill_into_slot(self, req: Request, slot: int) -> None:
+    def _dispatch_prefill(self, req: Request, slot: int):
+        """Dispatch a request's prefill WITHOUT blocking on it.
+
+        Returns a pending record; the device arrays inside are async
+        handles. The caller inserts the state into the batched cache after
+        dispatching the round's decode burst (the overlap that keeps the
+        device fed — vLLM interleaves prompt processing with decode the
+        same way, vllm_infer.py:49-60)."""
         visual = None
         if req.pixels is not None:
             visual = self._gen.encode_frames(req.pixels)
@@ -145,14 +152,17 @@ class ServingEngine:
             self.params, jnp.asarray(ids_arr),
             jnp.asarray(gather_idx), jnp.asarray(seq_idx), visual, pad,
         )
-        # sample the first token on the host (once per request)
-        tok = int(np.asarray(sample_token(
-            logits, jax.random.PRNGKey(req.request_id), self.sampling))[0])
-        req.output_ids.append(tok)
-        if tok in self.terminators or req.max_new_tokens <= 1:
-            req.done = True
-            return
-        # insert the single-row cache into the batched cache at `slot`
+        first_tok = sample_token(
+            logits, jax.random.PRNGKey(req.request_id), self.sampling)
+        return {"req": req, "slot": slot, "cache1": cache1,
+                "first_tok": first_tok, "bucket": bucket, "pad": pad}
+
+    def _insert_pending(self, pending) -> None:
+        """Insert a dispatched prefill's state into the batched cache
+        (device scatter, async) and activate the slot host-side. Lengths
+        come from the static bucket geometry — no device sync needed."""
+        slot = pending["slot"]
+        cache1 = pending["cache1"]
         self.cache = {
             "layers": [
                 _tree_insert(bl, sl, slot)
@@ -161,10 +171,11 @@ class ServingEngine:
             "length": self.cache["length"],
             "valid_from": self.cache["valid_from"],
         }
-        self.slot_req[slot] = req
-        self.slot_lengths[slot] = int(np.asarray(cache1["length"]))
-        self.slot_valid_from[slot] = int(np.asarray(cache1["valid_from"]))
-        self._last_tokens[slot] = tok
+        self.slot_req[slot] = pending["req"]
+        self.slot_lengths[slot] = pending["bucket"]
+        self.slot_valid_from[slot] = pending["pad"]
+        # placeholder until the async first token is synced this round
+        self._last_tokens[slot] = 0
 
     def _get_decode(self):
         from timeviper_tpu.models.generate import cached_jit
@@ -217,17 +228,24 @@ class ServingEngine:
 
         return cached_jit(key, make)
 
-    def _decode_once(self, rng_key) -> None:
+    def _dispatch_decode(self, rng_key):
+        """Dispatch one decode burst for the currently-active slots and
+        swap in the post-burst cache handle. Returns (async burst handle,
+        active slot list, pre-burst lengths) or None when idle."""
         active = [i for i, r in enumerate(self.slot_req) if r is not None]
         if not active:
-            return
+            return None
         step = self._get_decode()
         tokens = jnp.asarray(self._last_tokens)
         lengths = jnp.asarray(self.slot_lengths)
         vf = jnp.asarray(self.slot_valid_from)
         burst, self.cache = step(
             self.params, tokens, self.cache, lengths, vf, rng_key)
-        burst = np.asarray(burst)  # (slots, steps_per_sync)
+        return burst, active, np.asarray(self.slot_lengths).copy()
+
+    def _process_burst(self, dispatched) -> None:
+        burst, active, lengths = dispatched
+        burst = np.asarray(burst)  # (slots, steps_per_sync) — sync point
         n = burst.shape[1]
         for i in active:
             req = self.slot_req[i]
@@ -246,31 +264,60 @@ class ServingEngine:
             else:
                 continue
         # slots that stopped mid-burst advanced their device-side length by
-        # the full burst; correct the host view for still-active slots only
-        for i in range(self.num_slots):
+        # the full burst; correct the host view for slots still running
+        # THIS burst (not slots a pending prefill just activated)
+        for i in active:
             if self.slot_req[i] is not None:
                 self.slot_lengths[i] = int(lengths[i]) + n
 
     # ------------------------------------------------------------------
 
+    def _finish_pending(self, pending) -> None:
+        """Sync a dispatched prefill's first token and finalize the slot."""
+        req = pending["req"]
+        slot = pending["slot"]
+        tok = int(np.asarray(pending["first_tok"])[0])
+        req.output_ids.append(tok)
+        if tok in self.terminators or req.max_new_tokens <= 1:
+            req.done = True
+            self.slot_req[slot] = None  # inserted state is abandoned
+        else:
+            self._last_tokens[slot] = tok
+
     def run(self, requests: Sequence[Request], rng_seed: int = 0) -> List[Request]:
-        """Process all requests to completion (continuous batching)."""
+        """Process all requests to completion (continuous batching).
+
+        Each round pipelines the device work: prefills for queued requests
+        and the decode burst for active slots are dispatched back-to-back
+        (JAX dispatch is async), prefilled states are scattered into the
+        post-burst cache as device ops, and the host syncs once at the end
+        of the round — prefill never stalls decode on host round-trips."""
         for r in requests:
             self.submit(r)
         key = jax.random.PRNGKey(rng_seed)
         while self.queue or any(r is not None for r in self.slot_req):
-            # fill free slots from the queue (continuous batching)
-            for slot in self._free_slots():
-                if not self.queue:
-                    break
+            # 1. dispatch prefills into free slots (async)
+            pendings = []
+            free = self._free_slots()
+            while free and self.queue:
+                slot = free.pop(0)
                 req = self.queue.pop(0)
                 try:
-                    self._prefill_into_slot(req, slot)
+                    pendings.append(self._dispatch_prefill(req, slot))
                 except ValueError as e:
                     # per-request capacity failure (like vLLM's per-request
                     # rejection, vllm_infer.py) — don't abort the batch
                     req.done = True
                     req.error = str(e)
+            # 2. dispatch the decode burst for already-active slots
             key, sub = jax.random.split(key)
-            self._decode_once(sub)
+            dispatched = self._dispatch_decode(sub)
+            # 3. scatter prefilled states into the post-burst cache
+            for p in pendings:
+                self._insert_pending(p)
+            # 4. single host sync point for the whole round
+            if dispatched is not None:
+                self._process_burst(dispatched)
+            for p in pendings:
+                self._finish_pending(p)
         return list(requests)
