@@ -179,9 +179,14 @@ def bench_serving(results):
                     input_ids=rng.integers(3, 2000, (n,)).tolist(),
                     max_new_tokens=32)
             for i, n in enumerate(lengths)]
-    # warmup compiles (buckets + decode step)
-    eng.run([Request(request_id=99, input_ids=[5] * 600, max_new_tokens=2),
-             Request(request_id=98, input_ids=[5] * 3000, max_new_tokens=2)])
+    # warm every prefill bucket the workload hits + the decode step —
+    # a single cold compile through the remote helper costs ~30-60 s and
+    # would swamp the measurement
+    from timeviper_tpu.models.generate import pick_bucket
+
+    buckets = sorted({pick_bucket(n) for n in lengths})
+    eng.run([Request(request_id=1000 + b, input_ids=[5] * (b - 8),
+                     max_new_tokens=2) for b in buckets])
     t0 = time.perf_counter()
     done = eng.run(reqs)
     dt = time.perf_counter() - t0

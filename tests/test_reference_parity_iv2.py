@@ -24,10 +24,18 @@ IV2_DIR = "/root/reference/timeviper/model/vit/internvideo2"
 
 def _load_ref_module():
     """Import vit_scale_clean with its relative imports intact and
-    flash-attn stubbed (the module hard-imports it; CUDA-only dep)."""
+    flash-attn stubbed (the module hard-imports it; CUDA-only dep).
+
+    The stubs are REMOVED from sys.modules afterwards: leaving a fake
+    `flash_attn` visible flips transformers' attention-implementation
+    detection for the reference qwen2 parity tests later in the session
+    (observed as an order-dependent failure)."""
+    inserted = []
     for name in ["flash_attn", "flash_attn.bert_padding",
                  "flash_attn.flash_attn_interface"]:
-        sys.modules.setdefault(name, types.ModuleType(name))
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            inserted.append(name)
     sys.modules["flash_attn.bert_padding"].pad_input = None
     sys.modules["flash_attn.bert_padding"].unpad_input = None
     sys.modules["flash_attn.flash_attn_interface"] \
@@ -54,20 +62,29 @@ def _load_ref_module():
             return tuple(itertools.repeat(x, 2))
 
         for name in ["timm", "timm.models"]:
-            sys.modules.setdefault(name, types.ModuleType(name))
+            if name not in sys.modules:
+                sys.modules[name] = types.ModuleType(name)
+                inserted.append(name)
         layers = types.ModuleType("timm.models.layers")
         layers.DropPath = DropPath
         layers.to_2tuple = to_2tuple
         layers.trunc_normal_ = torch.nn.init.trunc_normal_
         sys.modules["timm.models.layers"] = layers
+        inserted.append("timm.models.layers")
 
     import importlib
 
-    if "refiv2" not in sys.modules:
-        pkg = types.ModuleType("refiv2")
-        pkg.__path__ = [IV2_DIR]
-        sys.modules["refiv2"] = pkg
-    return importlib.import_module("refiv2.vit_scale_clean")
+    try:
+        if "refiv2" not in sys.modules:
+            pkg = types.ModuleType("refiv2")
+            pkg.__path__ = [IV2_DIR]
+            sys.modules["refiv2"] = pkg
+        return importlib.import_module("refiv2.vit_scale_clean")
+    finally:
+        # the imported module holds its own references; scrub the stubs so
+        # the rest of the session sees the real (absent) modules
+        for name in inserted:
+            sys.modules.pop(name, None)
 
 
 def _tiny_ref_model(vsc, img_size=28, num_frames=4, depth=4,

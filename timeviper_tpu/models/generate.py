@@ -38,6 +38,26 @@ from timeviper_tpu.ops.sampling import SamplingParams, sample_token
 DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
+def pad_text_to_bucket(ids_arr, gather_idx, bucket, pad_token_id):
+    """Pad raw text ids to the fused bucket length so prefill executables
+    are keyed on the bucket alone — the fusion source is
+    concat(text_embeds[Lt], visual), so the visual gather entries
+    (>= Lt) shift by the pad amount. Without this, every distinct prompt
+    length compiled its own 52-layer program (~25-60 s each through the
+    remote helper — the serving bench measured 0.04 req/s from this)."""
+    Lt = ids_arr.shape[0]
+    if Lt >= bucket:
+        return ids_arr, gather_idx
+    import numpy as _np
+
+    ids_pad = _np.concatenate(
+        [ids_arr, _np.full((bucket - Lt,), pad_token_id, ids_arr.dtype)])
+    gidx = _np.asarray(gather_idx)
+    gidx = _np.where(gidx >= Lt, gidx + (bucket - Lt), gidx).astype(
+        gidx.dtype)
+    return ids_pad, gidx
+
+
 def pick_bucket(n: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
     for b in buckets:
         if n <= b:
@@ -259,6 +279,8 @@ class Generator:
         ids_arr = np.asarray(ids, np.int32)
         ids_arr = np.where(ids_arr == (image_token_id if image_token_id is not None else -1),
                            self.pad_token_id, ids_arr)
+        ids_arr, gather_idx = pad_text_to_bucket(
+            ids_arr, gather_idx, bucket, self.pad_token_id)
 
         cache_len = bucket + self.max_new_tokens
         if visual is None:

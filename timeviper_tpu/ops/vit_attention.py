@@ -30,26 +30,29 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_WHOLE_FRAME_T = 1024
 
 
-def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                     t_valid: int):
-    q = q_ref[...]  # (T, D)
-    k = k_ref[...]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (T, T)
-    T = s.shape[0]
+def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
+                     heads: int):
+    # refs: (heads, T, D). Several heads per program: a single-head program
+    # is ~0.3 GFLOP (microseconds of MXU) and the per-program grid overhead
+    # dominated — batching heads amortizes it ~4x.
+    T = q_ref.shape[1]
     jj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    s = jnp.where(jj < t_valid, s, -jnp.inf)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    # reciprocal-multiply: a full (T, T) divide is ~10x the VPU cost of mul
-    l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
-    p = (p * l_inv).astype(q.dtype)
-    o_ref[...] = jax.lax.dot_general(
-        p, v_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    col_ok = jj < t_valid
+    for h in range(heads):
+        s = jax.lax.dot_general(
+            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (T, T)
+        s = jnp.where(col_ok, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        # reciprocal-multiply: a (T, T) divide is ~10x the VPU cost of mul
+        l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
+        p = (p * l_inv).astype(q_ref.dtype)
+        o_ref[h] = jax.lax.dot_general(
+            p, v_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
 def vit_attention(
@@ -75,15 +78,24 @@ def vit_attention(
 
     qk, kk, vk = prep(q * jnp.asarray(scale, q.dtype)), prep(k), prep(v)
 
-    kernel = functools.partial(_vit_attn_kernel, scale=1.0, t_valid=T)
+    # heads per program: largest divisor of H keeping q/k/v/o tiles + the
+    # (Tp, Tp) f32 score matrix inside ~8 MB VMEM
+    hb = 1
+    tile = Tp * Dp * q.dtype.itemsize * 4  # q+k+v+o per head
+    for cand in range(H, 0, -1):
+        if H % cand == 0 and cand * tile + Tp * Tp * 4 <= 8 * 2**20:
+            hb = cand
+            break
+
+    kernel = functools.partial(_vit_attn_kernel, t_valid=T, heads=hb)
     out = pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(B, H // hb),
         in_specs=[
-            pl.BlockSpec((None, None, Tp, Dp), lambda b, h: (b, h, 0, 0),
+            pl.BlockSpec((None, hb, Tp, Dp), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ] * 3,
-        out_specs=pl.BlockSpec((None, None, Tp, Dp),
+        out_specs=pl.BlockSpec((None, hb, Tp, Dp),
                                lambda b, h: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, Dp), q.dtype),

@@ -51,7 +51,11 @@ class Request:
 
 
 def _tree_insert(batched, single, slot):
-    """Scatter a single-sequence cache pytree into slot `slot`."""
+    """Scatter a single-sequence cache pytree into slot `slot`.
+
+    Must run under jit (ServingEngine._get_insert): executed eagerly this
+    is ~80 separate dispatches, and through the tunnel's ~30 ms/dispatch
+    latency a single insert costs seconds."""
     def ins(b, s):
         return jax.lax.dynamic_update_slice_in_dim(
             b, s.astype(b.dtype), slot, axis=0
@@ -148,6 +152,10 @@ class ServingEngine:
                 (0, self.arch.llm.hidden_size), jnp.bfloat16)
         ids_arr = np.asarray(ids, np.int32)
         ids_arr = np.where(ids_arr == req.image_token_id, 0, ids_arr)
+        from timeviper_tpu.models.generate import pad_text_to_bucket
+
+        ids_arr, gather_idx = pad_text_to_bucket(ids_arr, gather_idx,
+                                                 bucket, 0)
         logits, cache1 = prefill(
             self.params, jnp.asarray(ids_arr),
             jnp.asarray(gather_idx), jnp.asarray(seq_idx), visual, pad,
@@ -157,17 +165,35 @@ class ServingEngine:
         return {"req": req, "slot": slot, "cache1": cache1,
                 "first_tok": first_tok, "bucket": bucket, "pad": pad}
 
+    def _get_insert(self):
+        from timeviper_tpu.models.generate import cached_jit
+
+        key = ("serve_insert", repr(self.arch), self.max_len)
+
+        def make():
+            def ins(batched_layers, single_layers, slot):
+                return [
+                    _tree_insert(bl, sl, slot)
+                    for bl, sl in zip(batched_layers, single_layers)
+                ]
+
+            import jax as _jax
+
+            return _jax.jit(ins, donate_argnums=(0,))
+
+        return cached_jit(key, make)
+
     def _insert_pending(self, pending) -> None:
         """Insert a dispatched prefill's state into the batched cache
-        (device scatter, async) and activate the slot host-side. Lengths
-        come from the static bucket geometry — no device sync needed."""
+        (ONE jitted device scatter, async) and activate the slot
+        host-side. Lengths come from the static bucket geometry — no
+        device sync needed."""
         slot = pending["slot"]
         cache1 = pending["cache1"]
+        ins = self._get_insert()
         self.cache = {
-            "layers": [
-                _tree_insert(bl, sl, slot)
-                for bl, sl in zip(self.cache["layers"], cache1["layers"])
-            ],
+            "layers": ins(self.cache["layers"], cache1["layers"],
+                          jnp.asarray(slot, jnp.int32)),
             "length": self.cache["length"],
             "valid_from": self.cache["valid_from"],
         }
