@@ -89,13 +89,29 @@ def bench_e2e():
 
     n_clips = -(-F // clip)
     L = F * tokens_per_frame
-    Lpad = -(-L // 1024) * 1024
+    # beyond ~6k frames the per-layer wide intermediates exceed HBM next
+    # to the int8 weights; the chunked long-context forward streams them
+    # (models/longctx.py) — this is what puts 10k frames on one chip
+    longctx = os.environ.get("BENCH_LONGCTX") == "1" or L > 98304
+    chunk_tokens = 16384
+    Lpad = (-(-L // chunk_tokens) * chunk_tokens if longctx
+            else -(-L // 1024) * 1024)
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def prefill(lparams, embeds):
-        out = nano_forward(lparams, lcfg, inputs_embeds=embeds,
-                           logits_to_keep=1)
-        return out["logits"]
+    if longctx:
+        from timeviper_tpu.models.longctx import nano_forward_longctx
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill(lparams, embeds):
+            out = nano_forward_longctx(
+                lparams, lcfg, embeds, chunk_tokens=chunk_tokens,
+                logits_to_keep=1)
+            return out["logits"]
+    else:
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def prefill(lparams, embeds):
+            out = nano_forward(lparams, lcfg, inputs_embeds=embeds,
+                               logits_to_keep=1)
+            return out["logits"]
 
     def run():
         t0 = time.perf_counter()

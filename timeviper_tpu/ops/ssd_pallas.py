@@ -70,19 +70,30 @@ def _ssd_kernel(
     dt_lo: float,
     dt_hi: float,
     save_prev: bool = False,
+    with_init: bool = False,
 ):
     if save_prev:
         # y (R,cs,P); final state (R,P,N); per-chunk inbound state (R,P,N)
         y_ref, st_ref, hin_ref, state, segprev = refs
+        init_ref = None
+    elif with_init:
+        # initial_state variant: extra (R,P,N) input ref precedes outputs
+        init_ref, y_ref, st_ref, state, segprev = refs
+        hin_ref = None
     else:
         y_ref, st_ref, state, segprev = refs
-        hin_ref = None
+        hin_ref = init_ref = None
     g = pl.program_id(1)
     c = pl.program_id(2)
 
     @pl.when(c == 0)
     def _():
-        state[...] = jnp.zeros_like(state)
+        if init_ref is None:
+            state[...] = jnp.zeros_like(state)
+        else:
+            # chunked long-context prefill: continue from the carried
+            # state; the caller guarantees segment continuity at the seam
+            state[...] = init_ref[...]
         segprev[0] = seg_ref[0]
 
     if hin_ref is not None:
@@ -192,7 +203,9 @@ def _ssd_pallas_fwd(
     seq_idx: Optional[jax.Array],
     interpret: bool = False,
     save_prev: bool = False,
+    initial_state: Optional[jax.Array] = None,  # (B, H, P, N) f32
 ):
+    assert not (save_prev and initial_state is not None)
     Bsz, L, H, P = x.shape
     G, N = B_.shape[-2], B_.shape[-1]
     R = H // G
@@ -236,7 +249,18 @@ def _ssd_pallas_fwd(
         dt_softplus=dt_softplus,
         dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
         save_prev=save_prev,
+        with_init=initial_state is not None,
     )
+
+    in_specs_extra = []
+    extra_args = []
+    if initial_state is not None:
+        in_specs_extra.append(
+            pl.BlockSpec((None, None, R, P, N),
+                         lambda b, g, c: (b, g, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        extra_args.append(
+            initial_state.astype(jnp.float32).reshape(Bsz, G, R, P, N))
 
     out_specs = [
         pl.BlockSpec((None, None, R, cs, P), lambda b, g, c: (b, g, 0, c, 0),
@@ -277,7 +301,7 @@ def _ssd_pallas_fwd(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, cs), lambda b, g, c: (b, c),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + in_specs_extra,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -288,7 +312,7 @@ def _ssd_pallas_fwd(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xb, dtb, Ab, dtbias, Bb, Cb, Db, seq_idx)
+    )(xb, dtb, Ab, dtbias, Bb, Cb, Db, seq_idx, *extra_args)
 
     y, st = outs[0], outs[1]
     y = jnp.transpose(y.reshape(Bsz, H, Lp, P), (0, 2, 1, 3))
@@ -766,12 +790,21 @@ def ssd_pallas(
     seq_idx: Optional[jax.Array] = None,
     return_final_state: bool = True,
     interpret: bool = False,
+    initial_state: Optional[jax.Array] = None,
 ):
     """Drop-in replacement for :func:`ops.ssd.ssd_chunked` (Pallas TPU path).
 
     Same shapes/semantics; see module docstring for the kernel design.
+    `initial_state` continues a previous span (chunked long-context
+    prefill) — inference-only: it bypasses the custom_vjp, so don't
+    differentiate through it.
     """
-    if interpret:
+    if initial_state is not None:
+        y, st = _ssd_pallas_fwd(
+            x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
+            seq_idx, interpret=interpret, initial_state=initial_state,
+        )
+    elif interpret:
         y, st = _ssd_pallas_fwd(
             x, dt, A, B_, C, chunk_size, D, dt_bias, dt_softplus, dt_limit,
             seq_idx, interpret=True,
@@ -800,3 +833,15 @@ def ssd_auto(x, dt, A, B_, C, chunk_size=256, **kwargs):
     if platform in ("tpu", "axon") and chunk_size % 128 == 0:
         return ssd_pallas(x, dt, A, B_, C, chunk_size=chunk_size, **kwargs)
     return ssd_chunked(x, dt, A, B_, C, chunk_size=chunk_size, **kwargs)
+
+
+def ssd_auto_continue(x, dt, A, B_, C, initial_state, chunk_size=256,
+                      **kwargs):
+    """`ssd_auto` with a carried initial state (chunked long-context
+    prefill). Inference-only on the Pallas path."""
+    platform = jax.default_backend()
+    if platform in ("tpu", "axon") and chunk_size % 128 == 0:
+        return ssd_pallas(x, dt, A, B_, C, chunk_size=chunk_size,
+                          initial_state=initial_state, **kwargs)
+    return ssd_chunked(x, dt, A, B_, C, chunk_size=chunk_size,
+                       initial_state=initial_state, **kwargs)
