@@ -137,3 +137,47 @@ def test_pallas_backward_dt_limit_clip():
         gg = np.asarray(gg, np.float64)
         rms = np.sqrt((gw**2).mean()) or 1.0
         assert np.sqrt(((gg - gw) ** 2).mean()) / rms < 1e-4, name
+
+
+@pytest.mark.parametrize("L,packed", [(512, False), (500, True)])
+def test_fused_conv_scan_matches_separate(L, packed):
+    """ssd_conv_scan_fused (in-kernel conv+SiLU, halo carry, segment
+    masking) == causal_conv1d -> ssd_chunked."""
+    from timeviper_tpu.ops.conv import causal_conv1d
+    from timeviper_tpu.ops.ssd_pallas import ssd_conv_scan_fused
+
+    B, H, P, G, N, K = 1, 4, 32, 2, 64, 4
+    d_inner, gn = H * P, G * N
+    k = jax.random.split(jax.random.PRNGKey(0), 9)
+    xr = jax.random.normal(k[0], (B, L, d_inner), jnp.float32)
+    Br = jax.random.normal(k[1], (B, L, gn), jnp.float32)
+    Cr = jax.random.normal(k[2], (B, L, gn), jnp.float32)
+    dt = jax.random.normal(k[3], (B, L, H)) * 0.5
+    A = -jnp.exp(jax.random.normal(k[4], (H,)))
+    D = jax.random.normal(k[5], (H,))
+    dtb = jax.random.normal(k[6], (H,)) * 0.1
+    wx = jax.random.normal(k[7], (d_inner, K)) * 0.3
+    wB = jax.random.normal(k[8], (gn, K)) * 0.3
+    wC = jnp.roll(wB, 1, axis=0) * 0.7
+    bx = jnp.linspace(-0.1, 0.1, d_inner)
+    bB = jnp.linspace(0.1, -0.1, gn)
+    seq = (jnp.arange(L)[None] // max(L // 3, 1)).astype(jnp.int32) \
+        if packed else None
+
+    xs = causal_conv1d(xr, wx, bx, activation="silu", seq_idx=seq)
+    Bs = causal_conv1d(Br, wB, bB, activation="silu", seq_idx=seq)
+    Cs = causal_conv1d(Cr, wC, None, activation="silu", seq_idx=seq)
+    want_y, want_st = ssd_chunked(
+        xs.reshape(B, L, H, P), dt, A, Bs.reshape(B, L, G, N),
+        Cs.reshape(B, L, G, N), chunk_size=128, D=D, dt_bias=dtb,
+        seq_idx=seq, return_final_state=True)
+
+    got_y, got_st = ssd_conv_scan_fused(
+        xr.reshape(B, L, H, P), dt, A, Br.reshape(B, L, G, N),
+        Cr.reshape(B, L, G, N),
+        {"wx": wx, "bx": bx, "wB": wB, "bB": bB, "wC": wC, "bC": None},
+        chunk_size=128, D=D, dt_bias=dtb, seq_idx=seq, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_st), np.asarray(want_st),
+                               rtol=3e-4, atol=3e-4)

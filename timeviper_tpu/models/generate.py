@@ -38,6 +38,19 @@ from timeviper_tpu.ops.sampling import SamplingParams, sample_token
 DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 
+def _fused_conv_default() -> bool:
+    """Route prefill through the fused conv+SiLU+scan Pallas program
+    (ops/ssd_pallas.py ssd_conv_scan_fused). Off by default: measured
+    ~2% slower than the separate path at the 9B shape — XLA already
+    fuses the unrolled-shift conv into the in_proj epilogue, so the HBM
+    round trips the fusion eliminates were largely elided. Kept
+    selectable for shapes/toolchains where that fusion fails."""
+    import os
+
+    return os.environ.get("TIMEVIPER_FUSED_CONV", "0") == "1"
+
+
+
 def pad_text_to_bucket(ids_arr, gather_idx, bucket, pad_token_id):
     """Pad raw text ids to the fused bucket length so prefill executables
     are keyed on the bucket alone — the fusion source is
@@ -154,6 +167,7 @@ class Generator:
                     visual_embeddings=visual,
                     fill_cache=True,
                     cache_max_len=cache_len,
+                    fused_conv=_fused_conv_default(),
                     valid_from=valid_from,
                 )
                 return out["logits"][:, -1], out["cache"]
@@ -190,6 +204,7 @@ class Generator:
                     visual_embeddings=visual,
                     fill_cache=True,
                     cache_max_len=cache_len,
+                    fused_conv=_fused_conv_default(),
                     use_pdrop=True,
                     pdrop_vision_start=vision_start,
                     pdrop_query_pos=query_pos,

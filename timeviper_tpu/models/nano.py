@@ -192,12 +192,15 @@ def mamba_mixer_forward(
     seq_idx: Optional[jax.Array] = None,
     cache_layer: Optional[Dict[str, Any]] = None,
     fill_cache: bool = False,
+    fused_conv: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Full-sequence Mamba-2 mixer (training / prefill).
 
     x: (B, L, D). When `fill_cache`, also returns the decode cache entry.
     Mirrors cuda_kernels_forward's fused path (modeling_nano.py:560-667) with
     seq_idx honoured in prefill too (fixing the reference defect at :648).
+    `fused_conv` routes the conv+SiLU+scan through one Pallas program
+    (the mamba_split_conv1d_scan_combined analog) — inference-only.
     """
     B, L, _ = x.shape
     d_inner = cfg.mamba_intermediate_size
@@ -220,27 +223,52 @@ def mamba_mixer_forward(
         }}
 
     cv = p["conv1d"]
-    xs = causal_conv1d(xr, cv["x"]["weight"], cv["x"]["bias"],
-                       activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
-    B_ = causal_conv1d(Br, cv["B"]["weight"], cv["B"]["bias"],
-                       activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
-    C = causal_conv1d(Cr, cv["C"]["weight"], cv["C"]["bias"],
-                      activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
-
-    y, final_state = ssd_chunked(
-        xs.reshape(B, L, H, P),
-        dt,
-        -jnp.exp(p["A_log"]),
-        B_.reshape(B, L, G, N),
-        C.reshape(B, L, G, N),
-        chunk_size=cfg.chunk_size,
-        D=p["D"],
-        dt_bias=p["dt_bias"],
-        dt_softplus=True,
-        dt_limit=cfg.time_step_limit,
-        seq_idx=seq_idx,
-        return_final_state=True,
+    use_fused = (
+        fused_conv
+        and cfg.mamba_d_conv == 4
+        and cfg.chunk_size % 128 == 0
+        and jax.default_backend() in ("tpu", "axon")
     )
+    if use_fused:
+        from timeviper_tpu.ops.ssd_pallas import ssd_conv_scan_fused
+
+        y, final_state = ssd_conv_scan_fused(
+            xr.reshape(B, L, H, P),
+            dt,
+            -jnp.exp(p["A_log"]),
+            Br.reshape(B, L, G, N),
+            Cr.reshape(B, L, G, N),
+            {"wx": cv["x"]["weight"], "bx": cv["x"]["bias"],
+             "wB": cv["B"]["weight"], "bB": cv["B"]["bias"],
+             "wC": cv["C"]["weight"], "bC": cv["C"]["bias"]},
+            chunk_size=cfg.chunk_size,
+            D=p["D"],
+            dt_bias=p["dt_bias"],
+            dt_limit=cfg.time_step_limit,
+            seq_idx=seq_idx,
+        )
+    else:
+        xs = causal_conv1d(xr, cv["x"]["weight"], cv["x"]["bias"],
+                           activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
+        B_ = causal_conv1d(Br, cv["B"]["weight"], cv["B"]["bias"],
+                           activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
+        C = causal_conv1d(Cr, cv["C"]["weight"], cv["C"]["bias"],
+                          activation=cfg.mamba_hidden_act, seq_idx=seq_idx)
+
+        y, final_state = ssd_chunked(
+            xs.reshape(B, L, H, P),
+            dt,
+            -jnp.exp(p["A_log"]),
+            B_.reshape(B, L, G, N),
+            C.reshape(B, L, G, N),
+            chunk_size=cfg.chunk_size,
+            D=p["D"],
+            dt_bias=p["dt_bias"],
+            dt_softplus=True,
+            dt_limit=cfg.time_step_limit,
+            seq_idx=seq_idx,
+            return_final_state=True,
+        )
     if fill_cache:
         new_cache["ssm_state"] = final_state
     y = y.reshape(B, L, d_inner)
@@ -386,7 +414,7 @@ def mlp_mixer_forward(p: Dict[str, Any], cfg: NanoConfig, x: jax.Array) -> jax.A
 
 def _block_forward(
     layer_params, cfg, block_type, hidden, *, seq_idx, attn_mask,
-    cache_layer, fill_cache, max_len,
+    cache_layer, fill_cache, max_len, fused_conv=False,
 ):
     residual = hidden
     normed = rms_norm(hidden, layer_params["norm"]["weight"],
@@ -395,7 +423,7 @@ def _block_forward(
     if block_type == "mamba":
         out, new_cache = mamba_mixer_forward(
             layer_params["mixer"], cfg, normed, seq_idx=seq_idx,
-            fill_cache=fill_cache,
+            fill_cache=fill_cache, fused_conv=fused_conv,
         )
     elif block_type == "attention":
         out, new_cache = attention_mixer_forward(
@@ -422,6 +450,7 @@ def nano_forward(
     labels: Optional[jax.Array] = None,
     logits_to_keep: int = 0,
     valid_from: int = 0,
+    fused_conv: bool = False,
 ):
     """Full-sequence forward (training / prefill).
 
@@ -472,6 +501,7 @@ def nano_forward(
             return _block_forward(
                 lp, cfg, _bt, h, seq_idx=s_idx, attn_mask=a_mask,
                 cache_layer=None, fill_cache=fill_cache, max_len=cache_max_len,
+                fused_conv=fused_conv,
             )
 
         if remat and not fill_cache:

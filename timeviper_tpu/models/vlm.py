@@ -224,6 +224,7 @@ def vlm_forward(
     cache_max_len: int = 0,
     remat: bool = False,
     valid_from: int = 0,
+    fused_conv: bool = False,
 ):
     """Training / prefill forward over one fused row.
 
@@ -271,6 +272,10 @@ def vlm_forward(
             )
 
     fwd = nano_mod.nano_forward if arch.llm_family == "nano" else qwen2_mod.qwen2_forward
+    extra = {}
+    if arch.llm_family == "nano" and fused_conv:
+        # inference prefill: conv+SiLU+scan in one Pallas program
+        extra["fused_conv"] = True
     out = fwd(
         params["llm_backbone"], arch.llm,
         inputs_embeds=fused,
@@ -282,6 +287,7 @@ def vlm_forward(
         pdrop_spec=pdrop_spec,
         pdrop_params=params.get("merge_modules"),
         valid_from=valid_from,
+        **extra,
     )
     return out
 

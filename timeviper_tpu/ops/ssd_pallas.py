@@ -71,18 +71,30 @@ def _ssd_kernel(
     dt_hi: float,
     save_prev: bool = False,
     with_init: bool = False,
+    fuse_conv: bool = False,
 ):
-    if save_prev:
-        # y (R,cs,P); final state (R,P,N); per-chunk inbound state (R,P,N)
-        y_ref, st_ref, hin_ref, state, segprev = refs
-        init_ref = None
-    elif with_init:
-        # initial_state variant: extra (R,P,N) input ref precedes outputs
-        init_ref, y_ref, st_ref, state, segprev = refs
-        hin_ref = None
+    # unpack the variadic refs: [conv weights] + [init] + outputs + scratch
+    i = 0
+    if fuse_conv:
+        wx_ref, bx_ref, wB_ref, bB_ref, wC_ref, bC_ref = refs[i:i + 6]
+        i += 6
+    if with_init:
+        init_ref = refs[i]
+        i += 1
     else:
-        y_ref, st_ref, state, segprev = refs
-        hin_ref = init_ref = None
+        init_ref = None
+    y_ref, st_ref = refs[i:i + 2]
+    i += 2
+    if save_prev:
+        hin_ref = refs[i]
+        i += 1
+    else:
+        hin_ref = None
+    state, segprev = refs[i:i + 2]
+    i += 2
+    if fuse_conv:
+        halo_x, halo_B, halo_C, haloseg = refs[i:i + 4]
+
     g = pl.program_id(1)
     c = pl.program_id(2)
 
@@ -95,6 +107,12 @@ def _ssd_kernel(
             # state; the caller guarantees segment continuity at the seam
             state[...] = init_ref[...]
         segprev[0] = seg_ref[0]
+        if fuse_conv:
+            halo_x[...] = jnp.zeros_like(halo_x)
+            halo_B[...] = jnp.zeros_like(halo_B)
+            halo_C[...] = jnp.zeros_like(halo_C)
+            for t in range(3):
+                haloseg[t] = -1  # causal start: halo taps masked out
 
     if hin_ref is not None:
         # inbound state of THIS chunk — the backward kernel's residual
@@ -102,6 +120,84 @@ def _ssd_kernel(
 
     seg = seg_ref[...]  # (cs,)
     seg_prev = segprev[0]
+    in_dtype = x_ref.dtype
+
+    if fuse_conv:
+        # --- fused depthwise causal conv (K=4) + SiLU over raw [x|B|C] ---
+        # The reference fuses conv+scan in one Triton kernel
+        # (mamba_split_conv1d_scan_combined, modeling_nano.py:61-65); here
+        # the chunk tiles are already resident in VMEM, so convolving
+        # in-kernel removes two full HBM round trips of the 18560-wide
+        # activations per layer. Halo rows (last K-1 raw inputs of the
+        # previous chunk) are carried in scratch; taps crossing a segment
+        # boundary are zeroed (packed-prefill semantics, ops/conv.py).
+        K = 4
+        iota_cs = jax.lax.broadcasted_iota(jnp.int32, (cs,), 0)
+
+        def _tap_mask(k):
+            # positions whose k-back tap stays inside their segment —
+            # kept float32: Mosaic only lowers minor-dim broadcasts of
+            # 32-bit types ("Insertion of minor dim ... 32-bit")
+            m = (jnp.roll(seg, k) == seg).astype(jnp.float32)
+            for t in range(k):
+                m = jnp.where(
+                    iota_cs == t,
+                    (haloseg[3 - k + t] == seg_ref[t]).astype(jnp.float32),
+                    m)
+            return m
+
+        def _onehot(t):
+            return (iota_cs == t).astype(jnp.float32)
+
+        # all conv math in f32: Mosaic restricts minor-dim broadcasts and
+        # lane-slice shape casts for 16-bit types, and the elementwise cost
+        # is negligible next to the kernel's matmuls
+        def _conv3d(raw, halo_ref, w_ref, b_ref):
+            # raw: (R, cs, P); w_ref: (K, G, R, P); halo rows 0..2
+            rf = raw.astype(jnp.float32)
+            acc = rf * w_ref[K - 1, g][:, None, :]
+            for k in range(1, K):
+                src = jnp.roll(rf, k, axis=1)
+                for t in range(k):
+                    oh = _onehot(t)[None, :, None]
+                    src = src * (1 - oh) + halo_ref[
+                        :, 3 - k + t: 4 - k + t, :] * oh
+                m = _tap_mask(k)[None, :, None]
+                acc = acc + (src * m) * w_ref[K - 1 - k, g][:, None, :]
+            acc = acc + b_ref[g][:, None, :]
+            return (acc * jax.nn.sigmoid(acc)).astype(in_dtype)
+
+        def _conv2d(raw, halo_ref, w_ref, b_ref):
+            # raw: (cs, N); w_ref: (K, G, N); halo rows 0..2
+            rf = raw.astype(jnp.float32)
+            acc = rf * w_ref[K - 1, g][None, :]
+            for k in range(1, K):
+                src = jnp.roll(rf, k, axis=0)
+                for t in range(k):
+                    oh = _onehot(t)[:, None]
+                    src = src * (1 - oh) + halo_ref[
+                        3 - k + t: 4 - k + t, :] * oh
+                m = _tap_mask(k)[:, None]
+                acc = acc + (src * m) * w_ref[K - 1 - k, g][None, :]
+            acc = acc + b_ref[g][None, :]
+            return (acc * jax.nn.sigmoid(acc)).astype(in_dtype)
+
+        xraw = x_ref[...]
+        Braw = B_ref[...]
+        Craw = C_ref[...]
+        xv = _conv3d(xraw, halo_x, wx_ref, bx_ref)
+        Bc = _conv2d(Braw, halo_B, wB_ref, bB_ref)
+        Cc = _conv2d(Craw, halo_C, wC_ref, bC_ref)
+        # carry the last K-1 RAW rows + their segment ids to the next chunk
+        halo_x[:, 0:3, :] = xraw[:, cs - 3:, :].astype(jnp.float32)
+        halo_B[0:3, :] = Braw[cs - 3:, :].astype(jnp.float32)
+        halo_C[0:3, :] = Craw[cs - 3:, :].astype(jnp.float32)
+        for t in range(3):
+            haloseg[t] = seg_ref[cs - 3 + t]
+    else:
+        xv = x_ref[...]
+        Bc = B_ref[...]  # (cs, N)
+        Cc = C_ref[...]
 
     dt = dt_ref[...].astype(jnp.float32) + dtb_ref[g][:, None]  # (R, cs)
     if dt_softplus:
@@ -123,8 +219,6 @@ def _ssd_kernel(
 
     # matmul operands stay in the input dtype (bf16 on the fast path, like
     # the Triton kernel's tensor-core usage); accumulation is f32 everywhere
-    Bc = B_ref[...]  # (cs, N)
-    Cc = C_ref[...]  # (cs, N)
     # group-shared "attention" logits: CB[i, j] = C_i · B_j
     CB = jax.lax.dot_general(
         Cc, Bc, (((1,), (1,)), ((), ())),
@@ -147,9 +241,9 @@ def _ssd_kernel(
     # keep mask for local chunk states (positions in the chunk-final segment)
     keep_last = (seg == seg[cs - 1]).astype(jnp.float32)  # (cs,)
 
-    xf = x_ref[...].astype(jnp.float32)  # (R, cs, P)
+    xf = xv.astype(jnp.float32)  # (R, cs, P)
     xdt = xf * dt[:, :, None]  # (R, cs, P) f32
-    xdt_mm = xdt.astype(x_ref.dtype)  # matmul operand in input dtype
+    xdt_mm = xdt.astype(in_dtype)  # matmul operand in input dtype
 
     for h in range(R):  # static unroll over the group's heads
         Acs_h = Acs[h]  # (cs,)
@@ -204,8 +298,11 @@ def _ssd_pallas_fwd(
     interpret: bool = False,
     save_prev: bool = False,
     initial_state: Optional[jax.Array] = None,  # (B, H, P, N) f32
+    conv_params: Optional[dict] = None,  # fused conv: {wx,bx,wB,bB,wC,bC}
 ):
     assert not (save_prev and initial_state is not None)
+    assert conv_params is None or not save_prev, (
+        "fused conv is the inference path; the bwd kernel has no conv")
     Bsz, L, H, P = x.shape
     G, N = B_.shape[-2], B_.shape[-1]
     R = H // G
@@ -250,10 +347,47 @@ def _ssd_pallas_fwd(
         dt_lo=float(dt_limit[0]), dt_hi=float(dt_limit[1]),
         save_prev=save_prev,
         with_init=initial_state is not None,
+        fuse_conv=conv_params is not None,
     )
 
     in_specs_extra = []
     extra_args = []
+    conv_scratch = []
+    if conv_params is not None:
+        K = conv_params["wx"].shape[-1]
+        assert K == 4, K  # halo scratch is sized for the reference K
+        # full-array blocks, indexed in-kernel (like A_ref); K leads so no
+        # lane-slicing of the 4-wide tap dim is ever needed
+        in_specs_extra += [
+            pl.BlockSpec((K, G, R, P), lambda b, g, c: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, R, P), lambda b, g, c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, G, N), lambda b, g, c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, G, N), lambda b, g, c: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, N), lambda b, g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        f32 = jnp.float32
+        extra_args += [
+            conv_params["wx"].reshape(G, R, P, K).transpose(3, 0, 1, 2)
+            .astype(f32),
+            conv_params["bx"].reshape(G, R, P).astype(f32),
+            conv_params["wB"].reshape(G, N, K).transpose(2, 0, 1).astype(f32),
+            conv_params["bB"].reshape(G, N).astype(f32),
+            conv_params["wC"].reshape(G, N, K).transpose(2, 0, 1).astype(f32),
+            conv_params["bC"].reshape(G, N).astype(f32),
+        ]
+        conv_scratch = [
+            pltpu.VMEM((R, 8, P), jnp.float32),   # halo_x rows 0..2
+            pltpu.VMEM((8, N), jnp.float32),      # halo_B
+            pltpu.VMEM((8, N), jnp.float32),      # halo_C
+            pltpu.SMEM((4,), jnp.int32),          # halo segment ids
+        ]
     if initial_state is not None:
         in_specs_extra.append(
             pl.BlockSpec((None, None, R, P, N),
@@ -307,7 +441,7 @@ def _ssd_pallas_fwd(
         scratch_shapes=[
             pltpu.VMEM((R, P, N), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
-        ],
+        ] + conv_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -833,6 +967,42 @@ def ssd_auto(x, dt, A, B_, C, chunk_size=256, **kwargs):
     if platform in ("tpu", "axon") and chunk_size % 128 == 0:
         return ssd_pallas(x, dt, A, B_, C, chunk_size=chunk_size, **kwargs)
     return ssd_chunked(x, dt, A, B_, C, chunk_size=chunk_size, **kwargs)
+
+
+def ssd_conv_scan_fused(
+    x_raw: jax.Array,   # (B, L, H, P) PRE-conv projections
+    dt: jax.Array,
+    A: jax.Array,
+    B_raw: jax.Array,   # (B, L, G, N) PRE-conv
+    C_raw: jax.Array,
+    conv_params: dict,  # {wx: (H*P, K), bx, wB: (G*N, K), bB, wC, bC}
+    chunk_size: int = 256,
+    D: Optional[jax.Array] = None,
+    dt_bias: Optional[jax.Array] = None,
+    dt_softplus: bool = True,
+    dt_limit: Tuple[float, float] = (0.0, float("inf")),
+    seq_idx: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """Fused depthwise-causal-conv + SiLU + SSD scan forward — the
+    `mamba_split_conv1d_scan_combined` analog (modeling_nano.py:61-65).
+    Convolution happens on the VMEM-resident chunk tiles (halo rows carried
+    across the sequential chunk grid), eliminating two HBM round trips of
+    the widest activations per Mamba layer. Inference-only (no vjp)."""
+    H = x_raw.shape[2]
+    cp = dict(conv_params)
+    if cp.get("bx") is None:
+        cp["bx"] = jnp.zeros((cp["wx"].shape[0],), jnp.float32)
+    if cp.get("bB") is None:
+        cp["bB"] = jnp.zeros((cp["wB"].shape[0],), jnp.float32)
+    if cp.get("bC") is None:
+        cp["bC"] = jnp.zeros((cp["wC"].shape[0],), jnp.float32)
+    Dc = D if D is not None else jnp.zeros((H,), jnp.float32)
+    dtb = dt_bias if dt_bias is not None else jnp.zeros((H,), jnp.float32)
+    return _ssd_pallas_fwd(
+        x_raw, dt, A, B_raw, C_raw, chunk_size, Dc, dtb, dt_softplus,
+        dt_limit, seq_idx, interpret=interpret, conv_params=cp,
+    )
 
 
 def ssd_auto_continue(x, dt, A, B_, C, initial_state, chunk_size=256,
