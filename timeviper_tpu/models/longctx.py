@@ -162,10 +162,19 @@ def nano_forward_longctx(
             )
         lp = params["layers"][idx]
         L = hidden.shape[1]
-        chunked = L > chunk_tokens and L % chunk_tokens == 0
+        # after a pdrop stage L may stop dividing chunk_tokens; fall back
+        # to the largest divisor of L that fits — NOT to an unchunked run
+        # (the whole point is bounding the wide intermediates)
+        ct = chunk_tokens
+        if L > chunk_tokens and L % chunk_tokens != 0:
+            for cand in range(chunk_tokens, 0, -1):
+                if L % cand == 0:
+                    ct = cand
+                    break
+        chunked = L > ct
         if block_type == "mamba":
             if chunked:
-                hidden = _mamba_layer_chunked(lp, cfg, hidden, chunk_tokens)
+                hidden = _mamba_layer_chunked(lp, cfg, hidden, ct)
             else:
                 from timeviper_tpu.models.nano import mamba_mixer_forward
 
@@ -175,7 +184,10 @@ def nano_forward_longctx(
                 hidden = hidden + out
         elif block_type == "attention":
             # flash attention is already O(L) memory; the qkv projections
-            # are narrow (Hq*hd + 2*Hkv*hd wide)
+            # are narrow (Hq*hd + 2*Hkv*hd wide). Pad L to the kernel's
+            # block multiple with a TRAILING zero tail — causal masking
+            # means real queries never see it — so a post-pdrop odd L
+            # doesn't fall back to the dense O(L²) oracle.
             normed = rms_norm(hidden, lp["norm"]["weight"],
                               eps=cfg.layer_norm_epsilon)
             Hq, Hkv, hd = (cfg.num_attention_heads,
@@ -184,12 +196,18 @@ def nano_forward_longctx(
             q = _apply_linear(p["q_proj"], normed).reshape(B, L, Hq, hd)
             k = _apply_linear(p["k_proj"], normed).reshape(B, L, Hkv, hd)
             v = _apply_linear(p["v_proj"], normed).reshape(B, L, Hkv, hd)
-            o = flash_attention(q, k, v, causal=True)
+            Lpad = -(-L // 256) * 256 if L >= 512 else L
+            if Lpad != L:
+                padw = ((0, 0), (0, Lpad - L), (0, 0), (0, 0))
+                q = jnp.pad(q, padw)
+                k = jnp.pad(k, padw)
+                v = jnp.pad(v, padw)
+            o = flash_attention(q, k, v, causal=True)[:, :L]
             hidden = hidden + _apply_linear(
                 p["o_proj"], o.reshape(B, L, Hq * hd))
         else:
             if chunked:
-                hidden = _mlp_layer_chunked(lp, cfg, hidden, chunk_tokens)
+                hidden = _mlp_layer_chunked(lp, cfg, hidden, ct)
             else:
                 normed = rms_norm(hidden, lp["norm"]["weight"],
                                   eps=cfg.layer_norm_epsilon)
