@@ -207,6 +207,15 @@ def bench_prefill():
 
 
 def main():
+    # warm starts: the e2e compile set (vision clip + 80k prefill) takes
+    # minutes cold through the remote helper; the persistent cache carries
+    # it across processes on the same machine
+    from timeviper_tpu.utils.cache import enable_compilation_cache
+
+    try:
+        enable_compilation_cache()
+    except Exception:
+        pass
     mode = os.environ.get("BENCH_MODE", "e2e")
     if mode == "prefill":
         bench_prefill()

@@ -375,3 +375,36 @@ def test_transv_decode_ca_kv_cache():
     assert not np.allclose(np.asarray(logits_merge),
                            np.asarray(logits_plain))
     assert "ca_kv" in c2  # carried for subsequent steps
+
+
+def test_transv_decode_ca_kv_qwen2():
+    """The shared ca_kv machinery through the qwen2 family decode step."""
+    from timeviper_tpu.config import tiny_qwen2_config
+    from timeviper_tpu.models.pdrop import make_pdrop_spec as _spec
+    from timeviper_tpu.models.qwen2 import (
+        init_qwen2_params,
+        qwen2_decode_step,
+        qwen2_forward,
+    )
+
+    cfg = tiny_qwen2_config(
+        use_pdrop=True, pdrop_type="uni_1_0.5", merge_module="CrossAttention",
+    )
+    merge = init_merge_modules(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    merge = [dict(m, alpha=jnp.asarray(0.5)) if m else m for m in merge]
+    params = init_qwen2_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    spec = _spec([(2, 8, 6)], cfg.pdrop_stages)
+    D = cfg.hidden_size
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (1, 16, D))
+    out = qwen2_forward(
+        params, cfg, inputs_embeds=embeds, pdrop_spec=spec,
+        pdrop_params=merge, fill_cache=True, cache_max_len=32)
+    assert "ca_kv" in out["cache"]
+
+    tok = jnp.asarray([[3]], jnp.int32)
+    lg_m, c2 = qwen2_decode_step(params, cfg, tok, out["cache"],
+                                 pdrop_params=merge)
+    lg_p, _ = qwen2_decode_step(params, cfg, tok, out["cache"])
+    assert np.isfinite(np.asarray(lg_m)).all()
+    assert not np.allclose(np.asarray(lg_m), np.asarray(lg_p))
+    assert "ca_kv" in c2
