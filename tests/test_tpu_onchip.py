@@ -106,3 +106,33 @@ def test_ssd_pallas_compiled_backward_matches_autodiff(packed):
                             gfast, gref):
         rel = _rms_rel(gf, gr)
         assert rel < 3e-2, (name, rel)
+
+
+def test_seq_parallel_pallas_in_shard_map_on_chip():
+    """The multi-chip prefill path (ssd_auto -> Pallas inside shard_map)
+    must compile and run on real Mosaic — exercised on a 1-device `seq`
+    mesh (multi-device meshes are CPU-emulated in the main suite, where
+    the jnp fallback runs instead of the kernel)."""
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.models.nano import init_nano_params, nano_forward
+    from timeviper_tpu.parallel.seq_parallel import nano_prefill_seq_parallel
+    from timeviper_tpu.parallel.sharding import make_mesh
+
+    full = "M-M-M-M*-M-M-M-M-M*-"
+    cfg = NanoConfig(
+        num_hidden_layers=8, hybrid_override_pattern=full[:8],
+        hidden_size=512, intermediate_size=1024, mamba_num_heads=16,
+        mamba_n_groups=4, mamba_head_dim=32, ssm_state_size=64,
+        num_attention_heads=8, head_dim=64, num_key_value_heads=4,
+        vocab_size=512, chunk_size=128,
+    )
+    params = jax.jit(lambda k: init_nano_params(
+        k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+    L = 2048
+    emb = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, L, cfg.hidden_size), jnp.bfloat16)
+    mesh = make_mesh(data=1, seq=1)
+    got = nano_prefill_seq_parallel(params, cfg, emb, mesh, logits_to_keep=4)
+    want = nano_forward(params, cfg, inputs_embeds=emb,
+                        logits_to_keep=4)["logits"]
+    assert _rms_rel(got, want) < 2e-2
