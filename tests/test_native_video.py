@@ -80,4 +80,7 @@ def test_load_video_dispatch(tmp_path):
     assert len(ts) == 4
     frames2, _, _ = load_video(path, sampling="fps", fps=10.0,
                                min_frames=2, max_frames=6)
-    assert frames2.shape[0] == 6
+    # reference fps_indices pads the truncated 6 to a multiple of 4
+    # (vision_process.py:127-128) by repeating the last index
+    assert frames2.shape[0] == 8
+    assert (frames2[5] == frames2[7]).all()

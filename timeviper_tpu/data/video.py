@@ -26,48 +26,134 @@ import numpy as np
 
 
 def uniform_indices(num_frames: int, total_frames: int) -> np.ndarray:
-    """`num_frames` evenly spaced indices over [0, total_frames)."""
-    if total_frames <= num_frames:
-        return np.arange(total_frames, dtype=np.int64)
-    seg = np.linspace(0, total_frames, num_frames + 1)
-    return ((seg[:-1] + seg[1:]) / 2).astype(np.int64)
+    """`num_frames` evenly spaced indices over [0, total_frames).
+
+    Exact reference semantics (vision_process.py:84-100): an INTEGER
+    linspace over [0, total] (each point truncated), then integer
+    floor-div midpoints — NOT float midpoints truncated at the end.
+    """
+    if num_frames < total_frames:
+        splits = np.linspace(0, total_frames, num_frames + 1).astype(np.int64)
+        return (splits[:-1] + splits[1:]) // 2
+    return np.arange(total_frames, dtype=np.int64)
 
 
 def fps_indices(
     video_fps: float,
     total_frames: int,
-    fps: float = 1.0,
-    min_frames: Optional[int] = None,
-    max_frames: Optional[int] = None,
+    fps: Optional[float] = 1.0,
+    min_frames: int = 1,
+    max_frames: int = -1,
 ) -> np.ndarray:
-    """Sample at `fps` frames/sec, clamped to [min_frames, max_frames]."""
-    duration = total_frames / max(video_fps, 1e-6)
-    n = int(duration * fps)
-    if min_frames is not None:
-        n = max(n, min_frames)
-    if max_frames is not None:
-        n = min(n, max_frames)
-    n = max(min(n, total_frames), 1)
-    return uniform_indices(n, total_frames)
+    """Frame indices at `fps` output rate — exact reference semantics
+    (vision_process.py:103-134):
+
+    * stride `video_fps / fps` from frame 0, rounded (half-to-even, like
+      torch.round), filtered to < total_frames;
+    * truncated to the FIRST `max_frames` (not re-spread uniformly);
+    * padded to a multiple of 4 by repeating the last index (the IV2 clip
+      size — the model always sees whole 4-frame clips);
+    * if still under `min_frames`, replaced wholesale by
+      `uniform_indices(min_frames, total_frames)`.
+    """
+    delta = 1.0 if fps is None else video_fps / fps
+    idx = np.round(np.arange(0, total_frames, delta)).astype(np.int64)
+    idx = idx[idx < total_frames]
+    if 0 < max_frames < len(idx):
+        idx = idx[:max_frames]
+    if len(idx) % 4 != 0 and len(idx) > 0:
+        idx = np.concatenate(
+            [idx, np.full((4 - len(idx) % 4,), idx[-1], np.int64)])
+    if len(idx) < min_frames:
+        idx = uniform_indices(min_frames, total_frames)
+    return idx
 
 
-def round_by_factor(n: int, factor: int) -> int:
-    return max(factor, round(n / factor) * factor)
+def round_by_factor(n, factor: int) -> int:
+    return round(n / factor) * factor
+
+
+def ceil_by_factor(n, factor: int) -> int:
+    return math.ceil(n / factor) * factor
+
+
+def floor_by_factor(n, factor: int) -> int:
+    return math.floor(n / factor) * factor
+
+
+# reference vision_process.py:38-41
+FRAME_FACTOR = 2
+FPS = 2.0
+FPS_MIN_FRAMES = 4
+FPS_MAX_FRAMES = 768
 
 
 def smart_nframes(
     total_frames: int,
     video_fps: float,
-    fps: float = 1.0,
-    min_frames: int = 32,
-    max_frames: int = 256,
-    frame_factor: int = 1,
+    fps: Optional[float] = None,
+    nframes: Optional[int] = None,
+    min_frames: int = FPS_MIN_FRAMES,
+    max_frames: Optional[int] = None,
+    frame_factor: int = FRAME_FACTOR,
 ) -> int:
-    """Qwen2-VL-style frame-count pick (reference vision_process.py:386-430):
-    duration·fps clamped, rounded to `frame_factor`."""
-    n = total_frames / max(video_fps, 1e-6) * fps
-    n = min(max(n, min_frames), max_frames, total_frames)
-    return max(int(round(n / frame_factor) * frame_factor), frame_factor)
+    """Qwen2-VL-style frame-count pick — exact reference semantics
+    (vision_process.py:386-431): either a fixed `nframes` rounded to the
+    frame factor, or duration·fps clamped to
+    [ceil_by_factor(min), floor_by_factor(min(max, total))] then floored
+    to the factor."""
+    assert not (fps is not None and nframes is not None), (
+        "Only accept either `fps` or `nframes`")
+    if nframes is not None:
+        n = round_by_factor(nframes, frame_factor)
+    else:
+        fps = FPS if fps is None else fps
+        lo = ceil_by_factor(min_frames, frame_factor)
+        hi = floor_by_factor(
+            min(FPS_MAX_FRAMES, total_frames) if max_frames is None
+            else max_frames,
+            frame_factor,
+        )
+        n = total_frames / video_fps * fps
+        n = min(min(max(n, lo), hi), total_frames)
+        n = floor_by_factor(n, frame_factor)
+    if not (frame_factor <= n <= total_frames):
+        raise ValueError(
+            f"nframes should be in [{frame_factor}, {total_frames}], got {n}")
+    return n
+
+
+def timestamp_indices(
+    total_frames: int,
+    video_fps: float,
+    video_start: float = 0.0,
+    video_end: Optional[float] = None,
+    **smart_kwargs,
+) -> Tuple[np.ndarray, float]:
+    """Clip-window sampling — the decord timestamp monkey-patch semantics
+    (eval/vllm_inference/utils.py:13-57): clamp [video_start, video_end]
+    to frame numbers, pick `smart_nframes` over the effective span, and
+    linspace (rounded) inside [start_frame, end_frame - 1].
+
+    Returns (indices, sample_fps)."""
+    if video_end is None:
+        video_end = total_frames / video_fps
+    start_frame = max(0, int(video_start * video_fps))
+    end_frame = min(total_frames, int(video_end * video_fps))
+    if end_frame <= start_frame:
+        end_frame = start_frame + 1
+        if end_frame > total_frames:
+            end_frame = total_frames
+            start_frame = max(0, end_frame - 1)
+    effective = end_frame - start_frame
+    n = smart_nframes(effective, video_fps, **smart_kwargs)
+    if effective == 0:
+        idx = np.asarray([start_frame], np.int64)
+    else:
+        idx = np.round(
+            np.linspace(start_frame, end_frame - 1, n)).astype(np.int64)
+    sample_fps = n / max(effective, 1e-6) * video_fps
+    return idx, sample_fps
 
 
 # ---------------------------------------------------------------------------
