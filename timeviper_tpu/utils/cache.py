@@ -42,11 +42,18 @@ def _machine_key() -> str:
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
-    cache_dir = (
-        path
-        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or os.path.expanduser(f"~/.cache/timeviper_tpu/xla_{_machine_key()}")
-    )
+    explicit = path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if explicit is None and jax.default_backend() == "cpu":
+        # Never persist CPU AOT executables: they bake host microarch
+        # target features (+prefer-no-gather, +amx-*) into the codegen and
+        # reload on a host without them — XLA's cpu_aot_loader warns of
+        # SIGILL risk, results become machine-dependent, and the ~250 KB
+        # of warnings slowed the driver's timed dryrun (round-2 artifact).
+        # _machine_key() provably under-keys this (two keyed dirs, still
+        # mismatched); CPU compiles here are small — cold is fine.
+        return
+    cache_dir = explicit or os.path.expanduser(
+        f"~/.cache/timeviper_tpu/xla_{_machine_key()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
