@@ -49,6 +49,12 @@ def get_args(argv=None):
     p.add_argument("--max_new_tokens", type=int, default=128)
     p.add_argument("--conv_template", type=str, default="nano_base")
     p.add_argument("--use_pdrop", action="store_true")
+    p.add_argument("--mesh_seq", type=int, default=1,
+                   help="sequence-shard prefill over this many devices "
+                        "(multi-chip inference; vLLM-TP analog)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel shards for params (TP rules + "
+                        "GSPMD)")
     p.add_argument("--use_serving_engine", action="store_true",
                    help="batch generation through the continuous-batching "
                         "engine (the reference's --use_vllm_inference analog)")
@@ -99,11 +105,17 @@ def main(argv=None):
     )
     finished = scan_finished(args.output_dir)
 
+    mesh = None
+    if args.mesh_seq > 1 or args.mesh_model > 1:
+        from timeviper_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(data=1, seq=args.mesh_seq, model=args.mesh_model)
     model = load_pretrained_vlm(
         args.checkpoint,
         conv_template=args.conv_template,
         max_new_tokens=args.max_new_tokens,
         use_pdrop=args.use_pdrop,
+        mesh=mesh,
     )
     datatype = get_dataset_type(args.dataset_name)
     records = load_benchmark(args.dataset_name, args.data_root, args.split)
@@ -145,6 +157,7 @@ def main(argv=None):
                 terminator_ids=model.processor.terminator_ids,
                 num_slots=args.serving_slots,
                 max_len=32768, max_new_tokens=args.max_new_tokens,
+                mesh=mesh,
             )
             # batch in slot-count waves; vision encode happens in prefill
             wave = args.serving_slots * 2

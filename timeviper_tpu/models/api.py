@@ -117,12 +117,18 @@ def load_pretrained_vlm(
     dtype=jnp.bfloat16,
     sampling: SamplingParams = SamplingParams(),
     quantize_int8: bool = False,
+    mesh=None,
 ) -> TimeViperModel:
     """Load a VLM checkpoint dir (see module docstring for layout).
 
     `quantize_int8=True` applies weight-only int8 to the LLM backbone
     (train/quantize.py) — halves weight HBM so the 9B fits one 16 GB chip
     and roughly doubles bandwidth-bound decode.
+
+    `mesh`: multi-chip inference (the vLLM TP=n_gpus analog,
+    vllm_infer.py:44-60). A `model` axis > 1 shards the params with the
+    TP rules (prefill + decode partition via GSPMD); a `seq` axis > 1
+    runs the sequence-sharded prefill (parallel/seq_parallel.py).
     """
     with open(os.path.join(checkpoint, "config.json")) as f:
         meta = json.load(f)
@@ -196,12 +202,17 @@ def load_pretrained_vlm(
             "conv_template",
             "nano_base" if arch.llm_family == "nano" else "qwen2")
     ]
+    if mesh is not None and int(mesh.shape.get("model", 1)) > 1:
+        from timeviper_tpu.parallel.sharding import shard_params
+
+        params = shard_params(params, mesh, fsdp_params=False)
     generator = Generator(
         params, arch,
         terminator_ids=processor.terminator_ids,
         pad_token_id=tokenizer.pad_token_id or 0,
         max_new_tokens=max_new_tokens,
         sampling=sampling,
+        mesh=mesh,
     )
     return TimeViperModel(
         arch=arch, params=params, processor=processor, template=template,

@@ -99,7 +99,16 @@ def cached_jit(key: Tuple, make_fn):
 
 
 class Generator:
-    """Holds jitted executables, keyed by static bucket shapes."""
+    """Holds jitted executables, keyed by static bucket shapes.
+
+    `mesh`: optional `jax.sharding.Mesh`. With a `seq` axis > 1 (and the
+    nano backbone), prefill runs sequence-sharded over the mesh
+    (parallel/seq_parallel.py) and emits the same decode-ready cache as
+    the single-chip path — the multi-chip inference analog of the
+    reference's vLLM TP serving (vllm_infer.py:44-60). With a `model`
+    axis, pass params already device_put with the TP shardings
+    (parallel/sharding.py) and GSPMD partitions prefill and decode.
+    """
 
     def __init__(
         self,
@@ -112,6 +121,7 @@ class Generator:
         sampling: SamplingParams = SamplingParams(),
         clip_size: int = 256,
         cache_dtype=jnp.bfloat16,
+        mesh=None,
     ) -> None:
         self.params = params
         self.arch = arch
@@ -121,13 +131,49 @@ class Generator:
         self.sampling = sampling
         self.clip_size = clip_size
         self.cache_dtype = cache_dtype
+        self.mesh = mesh
+
+    @property
+    def _seq_shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape.get("seq", 1))
 
     # -- vision ----------------------------------------------------------
 
     def encode_frames(self, pixels: np.ndarray) -> jax.Array:
         """(F, H, W, 3) -> (F*tokens_per_frame, D); clip-chunked like the
-        reference eval path (generic_vlm.py:274-281)."""
+        reference eval path (generic_vlm.py:274-281). With a seq mesh and
+        a frame count divisible by it, the encode itself shards over
+        devices (each device encodes its span of frames — zero
+        collectives, parallel/seq_parallel.py:encode_frames_seq_parallel).
+        """
         F = pixels.shape[0]
+        nseq = self._seq_shards
+        if (nseq > 1 and F % nseq == 0
+                and not self.arch.vision_backbones
+                and self.arch.vision_family != "internvideo2"):
+            from timeviper_tpu.parallel.seq_parallel import (
+                encode_frames_seq_parallel,
+            )
+
+            key = ("encode_sp", repr(self.arch), F, nseq)
+
+            def make():
+                def enc(vp, pp, px):
+                    return encode_frames_seq_parallel(
+                        vp, pp, self.arch.vision, px, self.mesh,
+                        projector_type=self.arch.vlm.projector_type,
+                        num_compressed_tokens=(
+                            self.arch.vlm.num_compressed_tokens),
+                    )
+
+                return enc
+
+            enc = cached_jit(key, make)
+            out = enc(self.params["vision_backbone"],
+                      self.params["projector"], jnp.asarray(pixels))
+            return out.reshape(-1, out.shape[-1])
         outs = []
         for s in range(0, F, self.clip_size):
             clip = pixels[s : s + self.clip_size]
@@ -211,6 +257,47 @@ class Generator:
                     valid_from=valid_from,
                 )
                 return out["logits"][:, -1], out["cache"]
+
+            return prefill
+
+        return cached_jit(key, make)
+
+    def _get_prefill_seq_parallel(self, bucket_len: int, cache_len: int,
+                                  num_visual: int = 0,
+                                  use_pdrop: bool = False):
+        """Sequence-sharded prefill over the mesh's `seq` axis, emitting
+        the decode-ready cache (parallel/seq_parallel.py). Keyed on bucket
+        dims + mesh shape; prompt layout stays traced data. With
+        `use_pdrop`, the masked pdrop/TransV stages run inside the sharded
+        prefill (keyed additionally on the static frame count)."""
+        from timeviper_tpu.parallel.seq_parallel import (
+            nano_prefill_seq_parallel,
+        )
+
+        key = ("prefill_sp", repr(self.arch), bucket_len, cache_len,
+               tuple(sorted(self.mesh.shape.items())),
+               num_visual if use_pdrop else -1)
+
+        def make():
+            def prefill(params, input_ids, gather_idx, visual, valid_from,
+                        vision_start=None, query_pos=None):
+                emb_table = params["llm_backbone"]["embeddings"]
+                text = jnp.take(emb_table, input_ids, axis=0)
+                src = jnp.concatenate(
+                    [text, visual.astype(text.dtype)], axis=0)
+                fused = jnp.take(src, gather_idx, axis=0)[None]
+                logits, cache = nano_prefill_seq_parallel(
+                    params["llm_backbone"], self.arch.llm, fused,
+                    self.mesh, logits_to_keep=1, valid_from=valid_from,
+                    fill_cache=True, cache_max_len=cache_len,
+                    cache_dtype=self.cache_dtype,
+                    use_pdrop=use_pdrop,
+                    pdrop_vision_start=vision_start,
+                    pdrop_num_vision=num_visual,
+                    pdrop_query_pos=query_pos,
+                    merge_params=params.get("merge_modules"),
+                )
+                return logits[:, -1], cache
 
             return prefill
 
@@ -300,7 +387,37 @@ class Generator:
         cache_len = bucket + self.max_new_tokens
         if visual is None:
             visual = jnp.zeros((0, self.arch.llm.hidden_size), self.cache_dtype)
-        if use_pdrop:
+        use_seq_parallel = (
+            self._seq_shards > 1
+            and self.arch.llm_family == "nano"
+            and bucket % self._seq_shards == 0
+        )
+        if use_seq_parallel and use_pdrop:
+            assert len(plan.sample_layouts) == 1, (
+                "pdrop generation is single-sample")
+            vs, _, _ = plan.sample_layouts[0]
+            prefill = self._get_prefill_seq_parallel(
+                bucket, cache_len, num_visual=plan.num_visual,
+                use_pdrop=True)
+            first_logits, cache = prefill(
+                self.params,
+                jnp.asarray(ids_arr),
+                jnp.asarray(gather_idx),
+                visual,
+                jnp.asarray(pad, jnp.int32),
+                jnp.asarray(pad + vs, jnp.int32),
+                jnp.asarray(bucket - 1, jnp.int32),
+            )
+        elif use_seq_parallel:
+            prefill = self._get_prefill_seq_parallel(bucket, cache_len)
+            first_logits, cache = prefill(
+                self.params,
+                jnp.asarray(ids_arr),
+                jnp.asarray(gather_idx),
+                visual,
+                jnp.asarray(pad, jnp.int32),
+            )
+        elif use_pdrop:
             # bucketed pdrop: layout as traced scalars (dynamic stage path)
             assert len(plan.sample_layouts) == 1, (
                 "pdrop generation is single-sample (packed rows train-only)")

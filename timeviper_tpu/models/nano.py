@@ -376,8 +376,14 @@ def attention_mixer_decode(
     cache_layer: Dict[str, Any],
     length: jax.Array,
     valid_from: jax.Array = 0,
+    kv_valid_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
-    """Single-token decode against the fixed-capacity KV buffer."""
+    """Single-token decode against the fixed-capacity KV buffer.
+
+    `kv_valid_mask` (max_len,) additionally masks slots the prefill marked
+    invalid — the masked sharded-pdrop prefill keeps dropped tokens in
+    their cache slots instead of compacting (parallel/seq_parallel.py),
+    so decode must skip them."""
     B = x.shape[0]
     Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     q = _apply_linear(p["q_proj"], x).reshape(B, 1, Hq, hd)
@@ -395,6 +401,8 @@ def attention_mixer_decode(
     max_len = k.shape[1]
     slots = jnp.arange(max_len)[None, :]
     kv_valid = (slots <= length) & (slots >= valid_from)
+    if kv_valid_mask is not None:
+        kv_valid = kv_valid & kv_valid_mask[None, :]
     out = attention(q, k, v, kv_valid[:, None, :])
     out = _apply_linear(p["o_proj"], out.reshape(B, 1, Hq * hd))
     return out, {"k": k, "v": v}
@@ -565,6 +573,11 @@ def nano_decode_step(
     stage's layer (decode-time TransV, cross_attention.py:218-324)."""
     hidden = jnp.take(params["embeddings"], input_ids, axis=0)
     length = cache["length"]
+    # slot-validity mask from a masked (sharded-pdrop) prefill: mark the
+    # slot this step writes as valid, then mask attention with it
+    kv_valid_mask = cache.get("kv_valid")
+    if kv_valid_mask is not None:
+        kv_valid_mask = kv_valid_mask.at[length].set(True)
     ca_by_layer = {}
     ca_kvs = cache.get("ca_kv")
     if ca_kvs is not None and pdrop_params is not None:
@@ -594,6 +607,7 @@ def nano_decode_step(
             out, lc = attention_mixer_decode(
                 layer_params["mixer"], cfg, normed, cache["layers"][idx],
                 length, cache.get("valid_from", 0),
+                kv_valid_mask=kv_valid_mask,
             )
         else:
             out = mlp_mixer_forward(layer_params["mixer"], cfg, normed)
@@ -608,6 +622,8 @@ def nano_decode_step(
         "length": length + 1,
         "valid_from": cache.get("valid_from", jnp.zeros((), jnp.int32)),
     }
+    if kv_valid_mask is not None:
+        new_cache["kv_valid"] = kv_valid_mask
     if ca_kvs is not None:
         new_cache["ca_kv"] = ca_kvs
     return logits, new_cache

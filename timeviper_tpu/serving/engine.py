@@ -78,6 +78,7 @@ class ServingEngine:
         pad_token_id: int = 0,
         cache_dtype=jnp.bfloat16,
         steps_per_sync: int = 4,
+        mesh=None,
     ) -> None:
         self.params = params
         self.arch = arch
@@ -86,11 +87,14 @@ class ServingEngine:
         self.max_new_tokens = max_new_tokens
         self.sampling = sampling
         self.terminators = tuple(int(t) for t in terminator_ids)
-        # single-row prefill machinery shared with the offline generator
+        # single-row prefill machinery shared with the offline generator;
+        # with a mesh, prefill runs sequence-sharded (the vLLM-TP analog)
+        # and vision encode shards over frames — decode then continues on
+        # the replicated cache (TP via GSPMD when params are sharded)
         self._gen = Generator(
             params, arch, terminator_ids=terminator_ids,
             pad_token_id=pad_token_id, max_new_tokens=max_new_tokens,
-            sampling=sampling, cache_dtype=cache_dtype,
+            sampling=sampling, cache_dtype=cache_dtype, mesh=mesh,
         )
         self.cache = init_cache(arch, num_slots, max_len, cache_dtype)
         # per-slot host state
@@ -146,7 +150,6 @@ class ServingEngine:
         seq_idx = np.concatenate(
             [np.full((pad,), -1, np.int32),
              np.zeros((plan.fused_len,), np.int32)])
-        prefill = self._gen._get_prefill(bucket, self.max_len)
         if visual is None:
             visual = jnp.zeros(
                 (0, self.arch.llm.hidden_size), jnp.bfloat16)
@@ -156,10 +159,23 @@ class ServingEngine:
 
         ids_arr, gather_idx = pad_text_to_bucket(ids_arr, gather_idx,
                                                  bucket, 0)
-        logits, cache1 = prefill(
-            self.params, jnp.asarray(ids_arr),
-            jnp.asarray(gather_idx), jnp.asarray(seq_idx), visual, pad,
-        )
+        use_sp = (self._gen._seq_shards > 1
+                  and self.arch.llm_family == "nano"
+                  and bucket % self._gen._seq_shards == 0)
+        if use_sp:
+            prefill = self._gen._get_prefill_seq_parallel(bucket,
+                                                          self.max_len)
+            logits, cache1 = prefill(
+                self.params, jnp.asarray(ids_arr),
+                jnp.asarray(gather_idx), visual,
+                jnp.asarray(pad, jnp.int32),
+            )
+        else:
+            prefill = self._gen._get_prefill(bucket, self.max_len)
+            logits, cache1 = prefill(
+                self.params, jnp.asarray(ids_arr),
+                jnp.asarray(gather_idx), jnp.asarray(seq_idx), visual, pad,
+            )
         first_tok = sample_token(
             logits, jax.random.PRNGKey(req.request_id), self.sampling)
         return {"req": req, "slot": slot, "cache1": cache1,
