@@ -119,3 +119,72 @@ def test_pipeline_stage_placement(setup):
         (d,) = leaf.devices()
         devs.add(d)
     assert len(devs) == n  # params actually spread across devices
+
+
+def test_vlm_pipeline_matches_single_program():
+    """Full-VLM GPipe (vision on stage 0) == single-program VLM grads."""
+    from timeviper_tpu.config import VLMConfig, tiny_vit_config
+    from timeviper_tpu.data.fusion import plan_fusion
+    from timeviper_tpu.models.vlm import VLMArch, init_vlm_params, vlm_forward
+    from timeviper_tpu.parallel.pipeline import VLMPipelineRunner
+
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=tiny_vit_config(),
+        llm=tiny_nano_config(),
+        llm_family="nano",
+        vision_family="siglip",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, jnp.float32)
+    img = 500
+    row = [5, 7, img, img, 9, 11, 3]
+    tpf = arch.vlm.num_compressed_tokens
+    plan = plan_fusion(row, image_token_id=img, tokens_per_frame=tpf)
+    B = 2
+    ids = jnp.asarray([row, [6, 8, img, img, 10, 12, 4]], jnp.int32)
+    rng = np.random.default_rng(0)
+    pixels = jnp.asarray(rng.random((B, 2, 28, 28, 3)), jnp.float32)
+    labels = np.where(plan.is_visual, IGNORE_INDEX,
+                      np.asarray(plan.gather_idx) % 13)[None].repeat(B, 0)
+    labels[:, :2] = IGNORE_INDEX
+    labels = jnp.asarray(labels, jnp.int32)
+
+    def ref_loss(p):
+        tot = cnt = 0.0
+        for b in range(B):
+            out = vlm_forward(p, arch, input_ids=ids[b], plan=plan,
+                              pixels=pixels[b])
+            s, c = _ce_sum(out["logits"], labels[b][None])
+            tot, cnt = tot + s, cnt + c
+        return tot / jnp.maximum(cnt, 1).astype(jnp.float32)
+
+    ref_loss_val, ref_g = jax.value_and_grad(ref_loss)(params)
+
+    pipe = VLMPipelineRunner(params, arch, n_stages=2)
+    # forward parity
+    got = pipe.forward(ids, pixels, plan, n_micro=2)
+    ref_logits = jnp.stack([
+        vlm_forward(params, arch, input_ids=ids[b], plan=plan,
+                    pixels=pixels[b])["logits"][0] for b in range(B)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_logits),
+                               atol=2e-4, rtol=1e-4)
+
+    loss, grads = pipe.train_step(ids, pixels, labels, plan, n_micro=2)
+    assert abs(float(loss) - float(ref_loss_val)) < 1e-5
+
+    def close(a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-4, rtol=1e-3)
+
+    jax.tree_util.tree_map(close, grads["vision"]["vision_backbone"],
+                           ref_g["vision_backbone"])
+    jax.tree_util.tree_map(close, grads["vision"]["projector"],
+                           ref_g["projector"])
+    for s, (lo, hi) in enumerate(pipe.runner.bounds):
+        for li, g_layer in enumerate(grads["stages"][s]["layers"]):
+            jax.tree_util.tree_map(close, g_layer,
+                                   ref_g["llm_backbone"]["layers"][lo + li])
+    close(grads["stages"][0]["embeddings"],
+          ref_g["llm_backbone"]["embeddings"])
+    close(grads["stages"][-1]["lm_head"]["kernel"],
+          ref_g["llm_backbone"]["lm_head"]["kernel"])

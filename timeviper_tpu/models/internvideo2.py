@@ -23,6 +23,7 @@ import numpy as np
 
 from timeviper_tpu.config import InternVideo2Config
 from timeviper_tpu.ops.attention import attention
+from timeviper_tpu.ops.vit_attention import encoder_attention
 from timeviper_tpu.ops.norms import rms_norm
 
 
@@ -293,7 +294,9 @@ def internvideo2_forward(
         q = q.reshape(B, Tk, nh, hd)
         k = k.reshape(B, Tk, nh, hd)
         v = v.reshape(B, Tk, nh, hd)
-        out = attention(q, k, v)
+        # 1025-token clips ride the whole-frame Pallas kernel on TPU
+        # (ops/vit_attention.py MAX_WHOLE_FRAME_T=1280), jnp oracle on CPU
+        out = encoder_attention(q, k, v)
         out = _apply_linear(layer["attn"]["proj"], out.reshape(B, Tk, d))
         x = res + out * layer["ls1"]["gamma"].astype(out.dtype)
         res = x

@@ -26,8 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# S+P in f32 must fit VMEM alongside q/k/v/o tiles; 1024² f32 ≈ 4 MB.
-MAX_WHOLE_FRAME_T = 1024
+# S+P in f32 must fit VMEM alongside q/k/v/o tiles; the head-batching loop
+# in `vit_attention` budgets ~8 MB, so Tp=1280 (6.55 MB scores + one
+# 1.31 MB head tile) is the ceiling. 1280 covers both SigLIP frames
+# (729 tokens) and InternVideo2 clips (4·16·16+1 = 1025 tokens).
+MAX_WHOLE_FRAME_T = 1280
 
 
 def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
@@ -86,6 +89,9 @@ def vit_attention(
         if H % cand == 0 and cand * tile + Tp * Tp * 4 <= 8 * 2**20:
             hb = cand
             break
+    assert hb * tile + Tp * Tp * 4 <= 8 * 2**20, (
+        f"T={T} overruns the whole-frame VMEM budget; raise block math or "
+        f"route through the flash kernel (MAX_WHOLE_FRAME_T={MAX_WHOLE_FRAME_T})")
 
     kernel = functools.partial(_vit_attn_kernel, t_valid=T, heads=hb)
     out = pl.pallas_call(
@@ -105,3 +111,40 @@ def vit_attention(
         interpret=interpret,
     )(qk, kk, vk)
     return jnp.transpose(out, (0, 2, 1, 3))[:, :T, :, :hd]
+
+
+def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Backend-dispatched exact non-causal attention for vision encoders.
+
+    (B, T, H, hd) -> (B, T, H, hd). On TPU, T ≤ MAX_WHOLE_FRAME_T uses the
+    whole-frame kernel above; longer sequences pad and stream through the
+    flash kernel; CPU (and tiny T) fall back to the jnp oracle. Shared by
+    the ViT towers (models/vit.py) and InternVideo2 (1025-token clips).
+    """
+    B, T, H, hd = q.shape
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not on_tpu or T < 256:
+        from timeviper_tpu.ops.attention import attention
+
+        return attention(q, k, v)
+    if T <= MAX_WHOLE_FRAME_T:
+        return vit_attention(q, k, v)
+    from timeviper_tpu.ops.flash_pallas import flash_attention
+
+    # long-sequence fallback: pad T to a 256 multiple + head_dim to 128 and
+    # stream through the flash kernel, pad tokens masked into a segment of
+    # their own
+    Tp = -(-T // 256) * 256
+    hp = -(-hd // 128) * 128
+    pad_t, pad_d = Tp - T, hp - hd
+    scale = 1.0 / (hd ** 0.5)  # scale by the TRUE head_dim
+    qp = jnp.pad(q * jnp.asarray(scale, q.dtype),
+                 ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+    kp = jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+    vp = jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
+    seg = jnp.concatenate(
+        [jnp.zeros((T,), jnp.int32), jnp.ones((pad_t,), jnp.int32)]
+    )[None].repeat(B, axis=0)
+    out = flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
+                          scale=1.0)
+    return out[:, :T, :, :hd]

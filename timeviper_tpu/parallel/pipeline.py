@@ -91,7 +91,11 @@ def _stage_params(params: Dict[str, Any], lo: int, hi: int,
 def _make_stage_fn(cfg: NanoConfig, block_types: Sequence[str],
                    is_first: bool, is_last: bool):
     def fn(sp, x, seq_idx):
-        hidden = (jnp.take(sp["embeddings"], x, axis=0) if is_first else x)
+        # the first stage embeds token ids; float inputs are already-fused
+        # embeddings (the VLM pipeline fuses text+visual outside the stage)
+        hidden = (jnp.take(sp["embeddings"], x, axis=0)
+                  if is_first and jnp.issubdtype(x.dtype, jnp.integer)
+                  else x)
         for lp, bt in zip(sp["layers"], block_types):
             hidden, _ = _block_forward(
                 lp, cfg, bt, hidden, seq_idx=seq_idx, attn_mask=None,
@@ -176,12 +180,27 @@ class PipelineRunner:
                 self._loss_grad = jax.jit(
                     jax.value_and_grad(loss_fn, argnums=argnums, has_aux=True)
                 )
+                # variant returning the input cotangent even for a 1-stage
+                # pipeline (the VLM runner backprops into vision/fusion)
+                self._loss_grad_x = jax.jit(
+                    jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+                )
             elif first:
                 def bwd_first(sp_, x, seq_idx, ct, _fn=fn):
                     _, vjp = jax.vjp(lambda p: _fn(p, x, seq_idx), sp_)
                     return vjp(ct)[0]
 
                 self._bwd.append(jax.jit(bwd_first))
+            if first:
+                # first-stage backward that ALSO returns the cotangent wrt
+                # the (float) input — the VLM pipeline's seam to the vision
+                # tower + fusion gather
+                def bwd_first_x(sp_, x, seq_idx, ct, _fn=fn):
+                    _, vjp = jax.vjp(lambda p, xx: _fn(p, xx, seq_idx),
+                                     sp_, x)
+                    return vjp(ct)
+
+                self._bwd_first_x = jax.jit(bwd_first_x)
             else:
                 def bwd_mid(sp_, x, seq_idx, ct, _fn=fn):
                     _, vjp = jax.vjp(
@@ -228,25 +247,11 @@ class PipelineRunner:
 
         # backward with microbatch grad accumulation (sums)
         grads: List[Any] = [None] * S
-        add = functools.partial(jax.tree_util.tree_map, jnp.add)
         loss_sum = cnt_sum = None
         for m in reversed(range(n_micro)):
-            lb = jax.device_put(lbs[m], self.shardings[-1])
-            (ls, cnt), g = self._loss_grad(
-                self.stage_params[-1], stage_in[-1][m], seqs[m], lb)
-            gp, ct = g if S > 1 else (g[0], None)
-            grads[-1] = gp if grads[-1] is None else add(grads[-1], gp)
+            ls, cnt, _ = self._bwd_step(m, stage_in, seqs, lbs, grads)
             loss_sum = ls if loss_sum is None else loss_sum + ls
             cnt_sum = cnt if cnt_sum is None else cnt_sum + cnt
-            for s in reversed(range(S - 1)):
-                ct = jax.device_put(ct, self.shardings[s])
-                if s == 0:
-                    gp = self._bwd[s](self.stage_params[s], stage_in[s][m],
-                                      seqs[m], ct)
-                else:
-                    gp, ct = self._bwd[s](self.stage_params[s],
-                                          stage_in[s][m], seqs[m], ct)
-                grads[s] = gp if grads[s] is None else add(grads[s], gp)
 
         # host scalar: the step is over, so this sync point is free, and a
         # python float scales every stage's grads without cross-stage
@@ -255,6 +260,36 @@ class PipelineRunner:
         grads = [jax.tree_util.tree_map(lambda g: g * (1.0 / denom), g)
                  for g in grads]
         return float(loss_sum) / denom, grads
+
+    def _bwd_step(self, m, stage_in, seqs, lbs, grads, first_bwd=None):
+        """Backward for microbatch m through all stages; returns
+        (loss_sum, cnt, first-stage input cotangent or None)."""
+        S = self.n_stages
+        add = functools.partial(jax.tree_util.tree_map, jnp.add)
+        lb = jax.device_put(lbs[m], self.shardings[-1])
+        if S == 1 and first_bwd is not None:
+            (ls, cnt), (gp, ct) = self._loss_grad_x(
+                self.stage_params[-1], stage_in[-1][m], seqs[m], lb)
+            grads[-1] = gp if grads[-1] is None else add(grads[-1], gp)
+            return ls, cnt, ct
+        (ls, cnt), g = self._loss_grad(
+            self.stage_params[-1], stage_in[-1][m], seqs[m], lb)
+        gp, ct = g if S > 1 else (g[0], None)
+        grads[-1] = gp if grads[-1] is None else add(grads[-1], gp)
+        ct_in = None
+        for s in reversed(range(S - 1)):
+            ct = jax.device_put(ct, self.shardings[s])
+            if s == 0 and first_bwd is not None:
+                gp, ct_in = first_bwd(self.stage_params[s], stage_in[s][m],
+                                      seqs[m], ct)
+            elif s == 0:
+                gp = self._bwd[s](self.stage_params[s], stage_in[s][m],
+                                  seqs[m], ct)
+            else:
+                gp, ct = self._bwd[s](self.stage_params[s],
+                                      stage_in[s][m], seqs[m], ct)
+            grads[s] = gp if grads[s] is None else add(grads[s], gp)
+        return ls, cnt, ct_in
 
     def apply_grads(self, optimizer, opt_states, grads):
         """Per-stage optax update (states live on the stage's devices)."""
@@ -268,3 +303,125 @@ class PipelineRunner:
                 self.stage_params[s], updates)
             new_states.append(st)
         return new_states
+
+
+class VLMPipelineRunner:
+    """GPipe over the FULL VLM: vision tower + projector + fusion run on the
+    first stage's devices; the LLM backbone is layer-split across stages.
+
+    The reference has no VLM pipeline engine at all (its DeepSpeed configs
+    shard optimizer state only; vLLM serves TP). Here the vision encode is
+    just another producer feeding stage 0: per microbatch, text+visual
+    embeddings are fused OUTSIDE the stage programs (one gather), stage 0
+    consumes float embeddings (the dtype branch in `_make_stage_fn`), and on
+    backward the first stage's input cotangent flows through a recompute-vjp
+    of encode+fuse into vision/projector/embedding grads — the same
+    stage-granular rematerialization the LLM stages use.
+
+    Batches are homogeneous rows sharing one `FusionPlan` (data/fusion.py):
+    input_ids (B, Lt) int32, pixels (B, F, H, W, 3), labels (B, fused_len).
+    """
+
+    def __init__(self, params: Dict[str, Any], arch, n_stages: int,
+                 devices: Optional[Sequence] = None, tp: int = 1):
+        self.arch = arch
+        self.runner = PipelineRunner(params["llm_backbone"], arch.llm,
+                                     n_stages, devices=devices, tp=tp)
+        vp = {k: params[k] for k in ("vision_backbone", "projector")}
+        self.vparams = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self.runner.shardings[0]), vp)
+
+        def fuse(vparams, emb_table, input_ids, pixels, gather_idx):
+            from timeviper_tpu.models.vlm import encode_visual
+
+            B = input_ids.shape[0]
+            ve = encode_visual(
+                vparams, self.arch,
+                pixels.reshape((-1,) + pixels.shape[2:]))
+            ve = ve.reshape(B, -1, ve.shape[-1])
+            text = jnp.take(emb_table, input_ids, axis=0)  # (B, Lt, D)
+            src = jnp.concatenate([text, ve.astype(text.dtype)], axis=1)
+            return jnp.take(src, gather_idx, axis=1)  # (B, fused_len, D)
+
+        self._fuse_fwd = jax.jit(fuse)
+        # recompute-vjp: the fused activations are NOT retained between fwd
+        # and bwd (stage-granular remat) — bwd re-runs the encode inside its
+        # own program and applies the cotangent
+        self._fuse_bwd = jax.jit(
+            lambda vparams, emb_table, input_ids, pixels, gather_idx, ct:
+            jax.vjp(lambda vpar, et: fuse(vpar, et, input_ids, pixels,
+                                          gather_idx),
+                    vparams, emb_table)[1](ct))
+
+    def forward(self, input_ids, pixels, plan, n_micro: int = 1):
+        """Pipelined VLM forward -> logits (B, fused_len, vocab)."""
+        R = self.runner
+        emb = R.stage_params[0]["embeddings"]
+        gidx = jnp.asarray(plan.gather_idx)
+        seq = None if plan.seq_idx is None else jnp.asarray(plan.seq_idx)
+        mbs = zip(jnp.split(input_ids, n_micro, axis=0),
+                  jnp.split(pixels, n_micro, axis=0))
+        outs = []
+        logits_fn = jax.jit(lambda sp, h: compute_logits(sp, h))
+        for ids_m, px_m in mbs:
+            x = self._fuse_fwd(self.vparams, emb, ids_m, px_m, gidx)
+            sq = (None if seq is None
+                  else jnp.repeat(seq[None], ids_m.shape[0], axis=0))
+            for s in range(R.n_stages):
+                x = jax.device_put(x, R.shardings[s])
+                x = R._fwd[s](R.stage_params[s], x, sq)
+            outs.append(logits_fn(R.stage_params[-1], x))
+        return jnp.concatenate(outs, axis=0)
+
+    def train_step(self, input_ids, pixels, labels, plan, n_micro: int = 2):
+        """One GPipe step over the full VLM.
+
+        Returns (mean loss, {"vision": grads for vision_backbone+projector,
+        "stages": per-stage LLM grads}); the text-embedding grad from the
+        fusion gather is already folded into stage 0's `embeddings` leaf.
+        Numerically matches a single-program full-batch VLM grad
+        (tests/test_pipeline.py::test_vlm_pipeline_matches_single_program).
+        """
+        R = self.runner
+        S = R.n_stages
+        emb = R.stage_params[0]["embeddings"]
+        gidx = jnp.asarray(plan.gather_idx)
+        seq = None if plan.seq_idx is None else jnp.asarray(plan.seq_idx)
+        ids_mbs = jnp.split(input_ids, n_micro, axis=0)
+        px_mbs = jnp.split(pixels, n_micro, axis=0)
+        lbs = jnp.split(labels, n_micro, axis=0)
+        seqs = [None if seq is None
+                else jnp.repeat(seq[None], m.shape[0], axis=0)
+                for m in ids_mbs]
+
+        stage_in: List[List[Any]] = [[] for _ in range(S)]
+        for ids_m, px_m, sq in zip(ids_mbs, px_mbs, seqs):
+            x = self._fuse_fwd(self.vparams, emb, ids_m, px_m, gidx)
+            for s in range(S):
+                x = jax.device_put(x, R.shardings[s])
+                stage_in[s].append(x)
+                if s < S - 1:
+                    x = R._fwd[s](R.stage_params[s], x, sq)
+
+        grads: List[Any] = [None] * S
+        vgrads = None
+        emb_extra = None
+        add = functools.partial(jax.tree_util.tree_map, jnp.add)
+        loss_sum = cnt_sum = None
+        for m in reversed(range(n_micro)):
+            ls, cnt, ct_in = R._bwd_step(m, stage_in, seqs, lbs, grads,
+                                         first_bwd=R._bwd_first_x)
+            loss_sum = ls if loss_sum is None else loss_sum + ls
+            cnt_sum = cnt if cnt_sum is None else cnt_sum + cnt
+            gv, ge = self._fuse_bwd(self.vparams, emb, ids_mbs[m], px_mbs[m],
+                                    gidx, ct_in)
+            vgrads = gv if vgrads is None else add(vgrads, gv)
+            emb_extra = ge if emb_extra is None else add(emb_extra, ge)
+
+        denom = max(float(cnt_sum), 1.0)
+        scale = 1.0 / denom
+        grads = [jax.tree_util.tree_map(lambda g: g * scale, g)
+                 for g in grads]
+        vgrads = jax.tree_util.tree_map(lambda g: g * scale, vgrads)
+        grads[0]["embeddings"] = grads[0]["embeddings"] + emb_extra * scale
+        return float(loss_sum) / denom, {"vision": vgrads, "stages": grads}
