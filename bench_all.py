@@ -402,6 +402,16 @@ def check_onchip(results):
     want = jax.jit(attention)(qv, kvx, vvx)
     _cmp("vit_attn_vs_oracle", got, want, 3e-2)
 
+    # --- same kernel at the InternVideo2 clip shape (1025 tokens — above
+    # the old 1024 cap; exercises the T->1152 pad + col mask) ---
+    Ti, Hi, hdi = 1025, 16, 64
+    ki = jax.random.split(jax.random.PRNGKey(10), 3)
+    qi = jax.random.normal(ki[0], (1, Ti, Hi, hdi), jnp.bfloat16)
+    kix = jax.random.normal(ki[1], (1, Ti, Hi, hdi), jnp.bfloat16)
+    vix = jax.random.normal(ki[2], (1, Ti, Hi, hdi), jnp.bfloat16)
+    _cmp("vit_attn_iv2_1025_vs_oracle", jax.jit(vit_attention)(qi, kix, vix),
+         jax.jit(attention)(qi, kix, vix), 3e-2)
+
     if failures:
         for r in results:
             print(json.dumps(r))

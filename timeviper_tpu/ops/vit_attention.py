@@ -38,24 +38,38 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
     # refs: (heads, T, D). Several heads per program: a single-head program
     # is ~0.3 GFLOP (microseconds of MXU) and the per-program grid overhead
     # dominated — batching heads amortizes it ~4x.
+    #
+    # The program is VPU-bound (softmax over the (T, T) scores), so the
+    # elementwise pass count over T·T is what matters (measured 45% of the
+    # whole SigLIP encode before this layout):
+    #   * column masking is a broadcast ADD of a (1, T) -inf row, not a
+    #     (T, T) select;
+    #   * the row sum rides the MXU (dot with a ones matrix — vector lane
+    #     reductions are the slow path on Mosaic);
+    #   * normalization happens AFTER the PV matmul: a (T, D) multiply is
+    #     T/D times cheaper than scaling the (T, T) probabilities.
     T = q_ref.shape[1]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    col_ok = jj < t_valid
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    neg_bias = jnp.where(jj < t_valid, 0.0, -1e30).astype(jnp.float32)
+    ones8 = jnp.ones((T, 8), q_ref.dtype)
     for h in range(heads):
         s = jax.lax.dot_general(
             q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (T, T)
-        s = jnp.where(col_ok, s, -jnp.inf)
+        s = s + neg_bias
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        # reciprocal-multiply: a (T, T) divide is ~10x the VPU cost of mul
-        l_inv = 1.0 / jnp.sum(p, axis=1, keepdims=True)
-        p = (p * l_inv).astype(q_ref.dtype)
-        o_ref[h] = jax.lax.dot_general(
+        p = jnp.exp(s - m).astype(q_ref.dtype)
+        # row sums on the MXU; 8 lanes because unit-lane dots lower badly
+        l = jax.lax.dot_general(
+            p, ones8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1]  # (T, 1)
+        o = jax.lax.dot_general(
             p, v_ref[h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )
+        o_ref[h] = (o * (1.0 / l)).astype(o_ref.dtype)
 
 
 def vit_attention(
