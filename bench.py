@@ -61,8 +61,15 @@ def bench_e2e():
     full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
     lcfg = NanoConfig(vocab_size=2048)  # lm_head excluded from the metric
 
-    vparams = jax.jit(lambda k: init_vit_params(k, vcfg, jnp.bfloat16))(
-        jax.random.PRNGKey(0))
+    # vision in int8 by default: encode is ~79% of the e2e wall and
+    # compute-bound; W8A8 with static calibrated activation scales runs
+    # the int8 MXU at 1.35x the bf16 matmul rate (ops/int8_linear.py).
+    # BENCH_VIT_DTYPE=bf16 reverts.
+    vit_int8 = os.environ.get("BENCH_VIT_DTYPE", "int8") == "int8"
+    vparams = jax.jit(
+        lambda k: (quantize_params_int8 if vit_int8 else (lambda p: p))(
+            init_vit_params(k, vcfg, jnp.bfloat16))
+    )(jax.random.PRNGKey(0))
     pparams = jax.jit(
         lambda k: init_projector_params(
             k, vcfg.hidden_size, lcfg.hidden_size, "tome_mlp",
@@ -77,6 +84,15 @@ def bench_e2e():
     # overlapped in production; this measures the device pipeline)
     pixels = jax.random.normal(
         jax.random.PRNGKey(3), (clip, 384, 384, 3), jnp.bfloat16)
+
+    if vit_int8:
+        from timeviper_tpu.train.quantize import calibrate_act_scales
+
+        # one-time static activation-scale calibration (offline in a real
+        # deployment; here on the bench's own input distribution)
+        vparams = calibrate_act_scales(
+            lambda p, px: vit_forward(p, vcfg, px), vparams,
+            [pixels[: min(32, clip)]])
 
     @jax.jit
     def encode_clip(vparams, pparams, pixels):

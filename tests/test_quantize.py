@@ -31,6 +31,36 @@ def test_qwen2_int8_runs():
     assert np.isfinite(o).all()
 
 
+def test_vit_int8_both_paths_match_bf16(monkeypatch):
+    """The ViT understands int8 kernels on both dispatch branches:
+    weight-only dequant (CPU default) and the calibrated static-scale
+    W8A8 path (TPU default, forced here via TIMEVIPER_VIT_INT8_MXU)."""
+    from timeviper_tpu.config import tiny_vit_config
+    from timeviper_tpu.models.vit import init_vit_params, vit_forward
+    from timeviper_tpu.train.quantize import calibrate_act_scales
+
+    cfg = tiny_vit_config()
+    params = init_vit_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qp = quantize_params_int8(params, min_size=1)
+    px = jax.random.normal(jax.random.PRNGKey(2), (2, 28, 28, 3), jnp.float32)
+    qp = calibrate_act_scales(
+        lambda p, b: vit_forward(p, cfg, b), qp, [px])
+    # every executed block got an act_inv (forward runs L-1 blocks)
+    n_cal = sum("act_inv" in l[m][k]
+                for l in qp["layers"] for m, k in
+                (("attn", "qkv"), ("attn", "proj"),
+                 ("mlp", "fc1"), ("mlp", "fc2")))
+    assert n_cal == 4 * (cfg.num_hidden_layers - 1), n_cal
+
+    ref = np.asarray(vit_forward(params, cfg, px), np.float32)
+    rms = float(np.sqrt((ref ** 2).mean()))
+    for mode in ("0", "1"):
+        monkeypatch.setenv("TIMEVIPER_VIT_INT8_MXU", mode)
+        out = np.asarray(vit_forward(qp, cfg, px), np.float32)
+        err = float(np.sqrt(((out - ref) ** 2).mean())) / rms
+        assert err < 0.05, (mode, err)
+
+
 def test_quantized_leaves_structure():
     cfg = tiny_nano_config()
     params = init_nano_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
@@ -40,3 +70,32 @@ def test_quantized_leaves_structure():
     assert "kernel_scale" in m and "kernel" not in m
     # embeddings stay full precision
     assert qp["embeddings"].dtype == params["embeddings"].dtype
+
+
+def test_w8a8_static_scale_matches_oracle():
+    """apply_linear_w8a8's int8-MXU branch == explicit quant/dequant math,
+    and a saturating activation clips instead of overflowing."""
+    from timeviper_tpu.ops.int8_linear import apply_linear_w8a8
+
+    k = jax.random.split(jax.random.PRNGKey(0), 2)
+    M, K, N = 70, 256, 130
+    x = jax.random.normal(k[0], (M, K), jnp.float32)
+    w = jax.random.normal(k[1], (K, N), jnp.float32) * 0.05
+    amax = jnp.abs(w).max(0)
+    ws = jnp.where(amax > 0, amax / 127.0, 1.0)
+    wq = jnp.clip(jnp.round(w / ws), -127, 127).astype(jnp.int8)
+    act_inv = jnp.asarray(127.0 / float(jnp.abs(x).max()), jnp.float32)
+    p = {"kernel_q": wq, "kernel_scale": ws, "act_inv": act_inv,
+         "bias": None}
+
+    got = np.asarray(apply_linear_w8a8(p, x, use_int8_mxu=True))
+    xq = jnp.clip(jnp.round(x * act_inv), -127, 127)
+    want = np.asarray((xq @ wq.astype(jnp.float32)) * (ws / act_inv))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # ~1% of the unquantized product
+    ref = np.asarray(x @ w)
+    rms = np.sqrt((ref ** 2).mean())
+    assert np.sqrt(((got - ref) ** 2).mean()) / rms < 0.02
+    # out-of-calibration activations saturate finitely (5x the range)
+    out = np.asarray(apply_linear_w8a8(p, x * 5.0, use_int8_mxu=True))
+    assert np.isfinite(out).all()

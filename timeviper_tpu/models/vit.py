@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from timeviper_tpu.config import ViTConfig
-from timeviper_tpu.ops.attention import attention
 
 
 def _linear(key, d_in, d_out, dtype, std=0.02, bias=True):
@@ -31,6 +30,18 @@ def _linear(key, d_in, d_out, dtype, std=0.02, bias=True):
 
 
 def _apply_linear(p, x):
+    if "kernel_q" in p:
+        import os
+
+        from timeviper_tpu.ops.int8_linear import apply_linear_w8a8
+
+        # W8A8 with static calibrated activation scales (the measured-fast
+        # int8 path on TPU — rationale in ops/int8_linear.py). Off-TPU, or
+        # for uncalibrated leaves, weight-only dequantization (exact).
+        mode = os.environ.get("TIMEVIPER_VIT_INT8_MXU", "auto")
+        use_mxu = (jax.default_backend() in ("tpu", "axon")
+                   if mode == "auto" else mode == "1")
+        return apply_linear_w8a8(p, x, use_int8_mxu=use_mxu)
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
     if p.get("bias") is not None:
         y = y + p["bias"].astype(y.dtype)
@@ -150,39 +161,10 @@ def vit_forward(
     # Non-causal attention. ViT sequences are short (T ≈ 729-1024), so the
     # whole-frame Pallas kernel (ops/vit_attention.py) computes exact
     # softmax attention with the (T, T) scores resident in VMEM — measured
-    # ~3x faster than the streaming flash kernel at SigLIP shapes. Longer
-    # sequences (InternVideo2 4-frame clips can exceed it) stream through
-    # the flash kernel; CPU falls back to the jnp oracle.
-    def _vit_attention(q, k, v):
-        T = q.shape[1]
-        on_tpu = jax.default_backend() in ("tpu", "axon")
-        if not on_tpu or T < 256:
-            return attention(q, k, v)
-        from timeviper_tpu.ops.vit_attention import (
-            MAX_WHOLE_FRAME_T,
-            vit_attention,
-        )
-
-        if T <= MAX_WHOLE_FRAME_T:
-            return vit_attention(q, k, v)
-        from timeviper_tpu.ops.flash_pallas import flash_attention
-
-        # long-sequence fallback: pad T to a 256 multiple + head_dim to
-        # 128 and stream through the flash kernel with pad tokens masked
-        # into their own segment
-        Tp = -(-T // 256) * 256
-        hp = -(-hd // 128) * 128
-        pad_t, pad_d = Tp - T, hp - hd
-        scale = 1.0 / (hd ** 0.5)  # scale by the TRUE head_dim
-        qp = jnp.pad(q * scale, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
-        kp = jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
-        vp = jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, pad_d)))
-        seg = jnp.concatenate(
-            [jnp.zeros((T,), jnp.int32), jnp.ones((pad_t,), jnp.int32)]
-        )[None].repeat(q.shape[0], axis=0)
-        out = flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
-                              scale=1.0)
-        return out[:, :T, :, :hd]
+    # ~3x faster than the streaming flash kernel at SigLIP shapes. The
+    # shared dispatcher streams longer sequences through the flash kernel
+    # and falls back to the jnp oracle on CPU.
+    from timeviper_tpu.ops.vit_attention import encoder_attention as _vit_attention
 
     # penultimate-layer features: run blocks [0, L-2), i.e. skip the last block
     for layer in params["layers"][: cfg.num_hidden_layers - 1]:

@@ -1,4 +1,7 @@
-from timeviper_tpu.parallel.pipeline import PipelineRunner  # noqa: F401
+from timeviper_tpu.parallel.pipeline import (  # noqa: F401
+    PipelineRunner,
+    VLMPipelineRunner,
+)
 from timeviper_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     make_mesh,

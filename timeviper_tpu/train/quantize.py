@@ -52,6 +52,70 @@ def quantize_params_int8(params: Any, min_size: int = 1 << 16) -> Any:
     return walk(params)
 
 
+def calibrate_act_scales(forward_fn, qparams, batches, margin: float = 1.05):
+    """Attach static activation scales for the W8A8 int8-MXU serving path.
+
+    Runs `forward_fn(qparams, batch)` for each batch with the
+    ops.int8_linear amax-capture sink installed: every quantized linear
+    that routes through `apply_linear_w8a8` records max|x| in trace order
+    (one jit compile per batch shape; the captured maxes come back as a
+    stacked device array). The per-linear maxima over all batches become
+    `act_inv = 127 / (amax * margin)` on the corresponding leaves.
+
+    Contract: forward_fn must consume quantized leaves in the params-tree
+    insertion order (true for models/vit.py, whose layer list is walked
+    sequentially). Leaves beyond the traced prefix — e.g. the final ViT
+    block that the penultimate-feature forward never runs — stay
+    uncalibrated and keep the exact weight-only dequant path.
+
+    This is the classic TensorRT-style static calibration flow; rationale
+    for static-over-dynamic on TPU is in ops/int8_linear.py.
+    """
+    import numpy as np
+
+    from timeviper_tpu.ops import int8_linear
+
+    def traced(qp, batch):
+        sink: list = []
+        int8_linear.ACT_AMAX_SINK = sink
+        try:
+            forward_fn(qp, batch)
+        finally:
+            int8_linear.ACT_AMAX_SINK = None
+        if not sink:
+            return jnp.zeros((0,), jnp.float32)
+        return jnp.stack(sink)
+
+    tfn = jax.jit(traced)
+    amax = None
+    for b in batches:
+        cur = np.asarray(tfn(qparams, b), np.float32)
+        amax = cur if amax is None else np.maximum(amax, cur)
+    if amax is None or amax.size == 0:
+        return qparams
+
+    idx = 0
+
+    def walk(node):
+        nonlocal idx
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                out[k] = walk(v)
+            if "kernel_q" in node and idx < len(amax):
+                a = float(amax[idx])
+                idx += 1
+                if a > 0:
+                    out["act_inv"] = jnp.asarray(
+                        127.0 / (a * margin), jnp.float32)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(qparams)
+
+
 def apply_linear_maybe_quantized(p, x, einsum_str: str = "...i,io->...o"):
     """Linear apply understanding both bf16 and int8 kernel layouts."""
     if "kernel_q" in p:
