@@ -10,9 +10,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap XLA:CPU codegen at AVX2: at AVX512+ XLA bakes the LLVM tuning
+# preferences +prefer-no-gather/+prefer-no-scatter into AOT cache entries,
+# and jaxlib 0.9's cpu_aot_loader flags them as host-feature mismatches on
+# RELOAD EVEN ON THE SAME MACHINE (verified: the two tuning prefs are the
+# entire feature diff). Matmuls go through oneDNN custom calls (own CPU
+# dispatch), so the cap does not slow the hot path.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

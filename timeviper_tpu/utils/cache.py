@@ -41,6 +41,21 @@ def _machine_key() -> str:
 def enable_compilation_cache(path: str | None = None) -> None:
     import jax
 
+    # Cap XLA:CPU codegen at AVX2. At AVX512+ XLA bakes the LLVM tuning
+    # preferences +prefer-no-gather/+prefer-no-scatter into CPU AOT cache
+    # entries, and jaxlib 0.9's cpu_aot_loader reports them as host-feature
+    # mismatches on reload EVEN ON THE SAME MACHINE AND BOOT (verified: the
+    # two tuning prefs are the entire compile-vs-host feature diff, so the
+    # "could lead to SIGILL" warning is a false positive — but it spams
+    # stderr and masks real cross-machine poisoning). AVX2 codegen drops
+    # the tuning prefs entirely -> clean reloads. CPU matmuls dispatch to
+    # oneDNN custom calls (own ISA detection), so the cap does not slow
+    # the paths that matter. No effect on TPU executables. Must run before
+    # the first compilation; all entry points call this at startup.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
+
     explicit = path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     cache_dir = explicit or os.path.expanduser(
         f"~/.cache/timeviper_tpu/xla_{_machine_key()}")
