@@ -94,6 +94,10 @@ def bench_e2e():
             lambda p, px: vit_forward(p, vcfg, px), vparams,
             [pixels[: min(32, clip)]])
 
+    # W8A8 for the LLM prefill projections too (BENCH_LLM_W8A8=0 reverts
+    # to weight-only int8): calibrated below on real projector outputs.
+    llm_w8a8 = os.environ.get("BENCH_LLM_W8A8", "1") == "1"
+
     @jax.jit
     def encode_clip(vparams, pparams, pixels):
         feats = vit_forward(vparams, vcfg, pixels)      # (clip, 729, 1152)
@@ -102,6 +106,17 @@ def bench_e2e():
             num_compressed_tokens=tokens_per_frame)     # (clip, 16, llm_d)
         return proj.reshape(1, clip * tokens_per_frame, -1).astype(
             jnp.bfloat16)
+
+    if llm_w8a8:
+        from timeviper_tpu.train.quantize import calibrate_act_scales
+
+        # calibrate the backbone's static activation scales on one clip's
+        # worth of real projector outputs (4k tokens)
+        cal_embeds = encode_clip(vparams, pparams, pixels)
+        lparams = calibrate_act_scales(
+            lambda p, e: nano_forward(
+                p, lcfg, inputs_embeds=e, logits_to_keep=1)["logits"],
+            lparams, [cal_embeds])
 
     n_clips = -(-F // clip)
     L = F * tokens_per_frame

@@ -99,3 +99,38 @@ def test_w8a8_static_scale_matches_oracle():
     # out-of-calibration activations saturate finitely (5x the range)
     out = np.asarray(apply_linear_w8a8(p, x * 5.0, use_int8_mxu=True))
     assert np.isfinite(out).all()
+
+
+def test_nano_w8a8_calibrated_matches_weight_only(monkeypatch):
+    """The nano backbone understands calibrated W8A8 leaves on both
+    dispatch branches: forced int8-MXU (TIMEVIPER_LLM_INT8_MXU=1, the TPU
+    serving path) stays within tolerance of the exact weight-only dequant
+    path, with logits argmax stable."""
+    from timeviper_tpu.train.quantize import calibrate_act_scales
+
+    cfg = tiny_nano_config()
+    params = init_nano_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    qp = quantize_params_int8(params, min_size=1)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(2), (1, 16, cfg.hidden_size), jnp.float32) * 0.1
+    qp = calibrate_act_scales(
+        lambda p, e: nano_forward(p, cfg, inputs_embeds=e)["logits"],
+        qp, [emb])
+    def count_act_inv(node):
+        if isinstance(node, dict):
+            return ("act_inv" in node) + sum(
+                count_act_inv(v) for v in node.values())
+        if isinstance(node, list):
+            return sum(count_act_inv(v) for v in node)
+        return 0
+
+    assert count_act_inv(qp) > 0
+
+    monkeypatch.setenv("TIMEVIPER_LLM_INT8_MXU", "0")
+    ref = np.asarray(nano_forward(qp, cfg, inputs_embeds=emb)["logits"])
+    monkeypatch.setenv("TIMEVIPER_LLM_INT8_MXU", "1")
+    got = np.asarray(nano_forward(qp, cfg, inputs_embeds=emb)["logits"])
+    rms = float(np.sqrt((ref ** 2).mean()))
+    err = float(np.sqrt(((got - ref) ** 2).mean())) / rms
+    assert err < 0.05, err
+    assert (ref.argmax(-1) == got.argmax(-1)).mean() > 0.9

@@ -40,6 +40,7 @@ from timeviper_tpu.ops.conv import (
     causal_conv1d_update,
     init_conv_state,
 )
+from timeviper_tpu.ops.int8_linear import apply_linear_w8a8
 from timeviper_tpu.ops.norms import gated_rms_norm, rms_norm
 from timeviper_tpu.ops.ssd import ssd_update_step
 from timeviper_tpu.ops.ssd_pallas import ssd_auto as ssd_chunked
@@ -168,14 +169,22 @@ def init_nano_params(key, cfg: NanoConfig, dtype=jnp.bfloat16) -> Dict[str, Any]
 
 
 def _apply_linear(p, x, precision=None):
-    if "kernel_q" in p:  # int8 weight-only quantization (train/quantize.py)
-        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
-        y = jnp.einsum("...i,io->...o", x, w, precision=precision)
+    if "kernel_q" in p:  # int8 leaves (train/quantize.py)
+        # W8A8 on the int8 MXU when the leaf carries a calibrated static
+        # activation scale (calibrate_act_scales — serving opt-in); exact
+        # per-channel weight-only dequant otherwise. Measurements and
+        # rationale: ops/int8_linear.py. Handles its own bias.
+        import os
+
+        mode = os.environ.get("TIMEVIPER_LLM_INT8_MXU", "auto")
+        use_mxu = (jax.default_backend() in ("tpu", "axon")
+                   if mode == "auto" else mode == "1")
+        y = apply_linear_w8a8(p, x, use_int8_mxu=use_mxu)
     else:
         y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype),
                        precision=precision)
-    if p.get("bias") is not None:
-        y = y + p["bias"].astype(y.dtype)
+        if p.get("bias") is not None:
+            y = y + p["bias"].astype(y.dtype)
     if "lora_a" in p:  # LoRA delta (train/lora.py)
         delta = jnp.einsum(
             "...i,ir,ro->...o", x,

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from timeviper_tpu.config import Qwen2Config
 from timeviper_tpu.ops.attention import attention, make_attention_mask
+from timeviper_tpu.ops.int8_linear import apply_linear_w8a8
 from timeviper_tpu.ops.norms import rms_norm
 from timeviper_tpu.ops.rope import apply_rope, rope_cos_sin
 
@@ -29,13 +30,19 @@ def _linear(key, d_in, d_out, dtype, std=0.02, bias=False):
 
 
 def _apply_linear(p, x):
-    if "kernel_q" in p:  # int8 weight-only quantization (train/quantize.py)
-        w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
-        y = jnp.einsum("...i,io->...o", x, w)
+    if "kernel_q" in p:  # int8 leaves (train/quantize.py)
+        # W8A8 on the int8 MXU when calibrated (see models/nano.py
+        # _apply_linear and ops/int8_linear.py); weight-only otherwise.
+        import os
+
+        mode = os.environ.get("TIMEVIPER_LLM_INT8_MXU", "auto")
+        use_mxu = (jax.default_backend() in ("tpu", "axon")
+                   if mode == "auto" else mode == "1")
+        y = apply_linear_w8a8(p, x, use_int8_mxu=use_mxu)
     else:
         y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
-    if p.get("bias") is not None:
-        y = y + p["bias"].astype(y.dtype)
+        if p.get("bias") is not None:
+            y = y + p["bias"].astype(y.dtype)
     if "lora_a" in p:  # LoRA delta (train/lora.py)
         delta = jnp.einsum(
             "...i,ir,ro->...o", x,
