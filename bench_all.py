@@ -412,6 +412,18 @@ def check_onchip(results):
     _cmp("vit_attn_iv2_1025_vs_oracle", jax.jit(vit_attention)(qi, kix, vix),
          jax.jit(attention)(qi, kix, vix), 3e-2)
 
+    # --- fused-layout qkv kernel (zero-relayout path used by models/vit) ---
+    from timeviper_tpu.ops.vit_attention import vit_attention_qkv
+
+    qkv_fused = jax.random.normal(
+        jax.random.PRNGKey(11), (Bv, Tv, 3 * Hv * hdv), jnp.bfloat16)
+    qs, ks, vs = jnp.split(
+        qkv_fused.reshape(Bv, Tv, 3, Hv, hdv), 3, axis=2)
+    _cmp("vit_attn_qkv_fused_vs_oracle",
+         jax.jit(lambda a: vit_attention_qkv(a, Hv, hdv))(qkv_fused),
+         jax.jit(attention)(qs[:, :, 0], ks[:, :, 0], vs[:, :, 0]).reshape(
+             Bv, Tv, Hv * hdv), 3e-2)
+
     if failures:
         for r in results:
             print(json.dumps(r))

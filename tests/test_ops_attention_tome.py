@@ -150,3 +150,45 @@ def test_vit_whole_frame_attention_matches_oracle():
     want = attention(q, kx, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_vit_attention_qkv_fused_layout_matches_oracle():
+    """Zero-relayout kernel reading the fused (B, T, 3*H*hd) qkv projection
+    output (interpret) vs splitting heads and running the jnp oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timeviper_tpu.ops.attention import attention
+    from timeviper_tpu.ops.vit_attention import (
+        qkv_kernel_supported, vit_attention_qkv)
+
+    B, T, H, hd = 2, 100, 2, 64  # H*hd = 128: the kernel's column alignment
+    assert qkv_kernel_supported(T, H, hd, itemsize=4)
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (B, T, 3 * H * hd),
+                            jnp.float32)
+    got = vit_attention_qkv(qkv, H, hd, interpret=True)
+    q, k, v = jnp.split(qkv.reshape(B, T, 3, H, hd), 3, axis=2)
+    want = attention(q[:, :, 0], k[:, :, 0], v[:, :, 0]).reshape(B, T, H * hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_attention_qkv_dispatch_fallback():
+    """Unaligned head layouts (H*hd % 128 != 0) must fall back to the
+    head-split path and still match the oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timeviper_tpu.ops.attention import attention
+    from timeviper_tpu.ops.vit_attention import encoder_attention_qkv
+
+    B, T, H, hd = 2, 50, 3, 24
+    qkv = jax.random.normal(jax.random.PRNGKey(8), (B, T, 3 * H * hd),
+                            jnp.float32)
+    got = encoder_attention_qkv(qkv, H, hd)
+    q, k, v = jnp.split(qkv.reshape(B, T, 3, H, hd), 3, axis=2)
+    want = attention(q[:, :, 0], k[:, :, 0], v[:, :, 0]).reshape(B, T, H * hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

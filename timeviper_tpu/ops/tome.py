@@ -69,18 +69,26 @@ def _bipartite_merge_round(
     src_x, dst_x = xs[:, ::2], xs[:, 1::2]
     src_s, dst_s = size[:, ::2], size[:, 1::2]
 
-    def one(sx, dx, ss, ds, u_i, s_i, d_i):
-        unm_x = sx[u_i]
-        unm_s = ss[u_i]
-        dx = dx.at[d_i].add(sx[s_i])
-        ds = ds.at[d_i].add(ss[s_i])
-        return (
-            jnp.concatenate([unm_x, dx], axis=0),
-            jnp.concatenate([unm_s, ds], axis=0),
-        )
+    # Merge via a one-hot matmul instead of scatter-add: TPU scatters
+    # serialize (measured: the scatter formulation made ToMe ~12% of the
+    # whole encode). M[b, i, j] = 1 iff src i merges into dst j, i.e. src
+    # rank by score < r. The accumulation dst += M^T src is then a batched
+    # (t_b, t_a) x (t_a, C) MXU matmul, and duplicate dst targets
+    # accumulate exactly as the scatter did.
+    rank = jnp.argsort(order, axis=-1)  # inverse permutation: rank by score
+    is_merged = (rank < r).astype(jnp.float32)  # (B, t_a)
+    onehot = (
+        node_idx[:, :, None] == jnp.arange(t_b)[None, None, :]
+    ).astype(jnp.float32) * is_merged[:, :, None]  # (B, t_a, t_b)
+    dx = dst_x + jnp.einsum("bit,bic->btc", onehot, src_x)
+    ds = dst_s + jnp.einsum("bit,bic->btc", onehot, src_s)
 
-    xm, sm = jax.vmap(one)(src_x, dst_x, src_s, dst_s, unm_idx, src_idx, dst_idx)
-    return xm, sm
+    unm_x = jnp.take_along_axis(src_x, unm_idx[..., None], axis=1)
+    unm_s = jnp.take_along_axis(src_s, unm_idx[..., None], axis=1)
+    return (
+        jnp.concatenate([unm_x, dx], axis=1),
+        jnp.concatenate([unm_s, ds], axis=1),
+    )
 
 
 def tome_merge(

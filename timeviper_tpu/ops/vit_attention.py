@@ -48,18 +48,26 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
     #     reductions are the slow path on Mosaic);
     #   * normalization happens AFTER the PV matmul: a (T, D) multiply is
     #     T/D times cheaper than scaling the (T, T) probabilities.
+    # Softmax without the row max: vision attention logits are bounded
+    # (|q·k|/√d ≪ 75 for any trained ViT), so exp(min(s, 75)) is exact in
+    # f32 — e75·T ≈ 3e35 stays under f32/bf16 max — and the (T, T) scores
+    # are traversed ONCE (clamp+exp+mask fuse into a single VPU pass)
+    # instead of three times (bias add, row-max reduce, subtract+exp).
+    # The kernel is VPU-bound at these shapes (ablation: attention was 51%
+    # of the SigLIP encode with the 3-pass layout), so traversal count is
+    # the metric that matters. Column masking multiplies by a (1, T) 0/1
+    # row (folds into the same pass); an all-underflow row (every logit
+    # < -87) yields 0/eps ≈ 0 rather than NaN via the 1e-30 floor.
     T = q_ref.shape[1]
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    neg_bias = jnp.where(jj < t_valid, 0.0, -1e30).astype(jnp.float32)
+    colmask = (jj < t_valid).astype(jnp.float32)
     ones8 = jnp.ones((T, 8), q_ref.dtype)
     for h in range(heads):
         s = jax.lax.dot_general(
             q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (T, T)
-        s = s + neg_bias
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m).astype(q_ref.dtype)
+        p = (jnp.exp(jnp.minimum(s, 75.0)) * colmask).astype(q_ref.dtype)
         # row sums on the MXU; 8 lanes because unit-lane dots lower badly
         l = jax.lax.dot_general(
             p, ones8, (((1,), (0,)), ((), ())),
@@ -69,7 +77,7 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
             p, v_ref[h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[h] = (o * (1.0 / l)).astype(o_ref.dtype)
+        o_ref[h] = (o * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
 
 
 def vit_attention(
@@ -96,14 +104,18 @@ def vit_attention(
     qk, kk, vk = prep(q * jnp.asarray(scale, q.dtype)), prep(k), prep(v)
 
     # heads per program: largest divisor of H keeping q/k/v/o tiles + the
-    # (Tp, Tp) f32 score matrix inside ~8 MB VMEM
+    # (Tp, Tp) f32 score matrix inside the VMEM budget (~16 MB/core total;
+    # leave headroom for double-buffered DMA of the next program's tiles)
+    import os
+
+    budget = int(os.environ.get("TIMEVIPER_VIT_VMEM_MB", "8")) * 2**20
     hb = 1
     tile = Tp * Dp * q.dtype.itemsize * 4  # q+k+v+o per head
     for cand in range(H, 0, -1):
-        if H % cand == 0 and cand * tile + Tp * Tp * 4 <= 8 * 2**20:
+        if H % cand == 0 and cand * tile + Tp * Tp * 4 <= budget:
             hb = cand
             break
-    assert hb * tile + Tp * Tp * 4 <= 8 * 2**20, (
+    assert hb * tile + Tp * Tp * 4 <= budget, (
         f"T={T} overruns the whole-frame VMEM budget; raise block math or "
         f"route through the flash kernel (MAX_WHOLE_FRAME_T={MAX_WHOLE_FRAME_T})")
 
@@ -125,6 +137,139 @@ def vit_attention(
         interpret=interpret,
     )(qk, kk, vk)
     return jnp.transpose(out, (0, 2, 1, 3))[:, :T, :, :hd]
+
+
+def _vit_attn_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
+                         heads: int, head_dim: int, scale: float):
+    # q_ref/o_ref: (TR, H*hd) row block; k_ref/v_ref: (T, H*hd) full.
+    # Heads live in contiguous hd-wide column bands of the qkv projection
+    # output; each is attended independently. Same one-pass clamped
+    # softmax as _vit_attn_kernel (see that kernel's comment).
+    T = k_ref.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    colmask = (jj < t_valid).astype(jnp.float32)
+    ones8 = jnp.ones((T, 8), q_ref.dtype)
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q_ref[:, sl] * jnp.asarray(scale, q_ref.dtype)
+        s = jax.lax.dot_general(
+            qh, k_ref[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TR, T)
+        p = (jnp.exp(jnp.minimum(s, 75.0)) * colmask).astype(q_ref.dtype)
+        l = jax.lax.dot_general(
+            p, ones8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, :1]
+        o = jax.lax.dot_general(
+            p, v_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, sl] = (o * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+
+
+def vit_attention_qkv(
+    qkv: jax.Array,  # (B, T, 3*H*hd) — column order (3, H, hd)
+    num_heads: int,
+    head_dim: int,
+    *,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole-frame attention reading directly from the fused qkv layout.
+
+    The padded per-head (B, H, Tp, 128) tensors of `vit_attention` cost
+    ~1.5 GB/layer of pure relayout HBM traffic at SigLIP shapes (measured:
+    attention was 51% of the encode while the kernel itself was only 29%
+    of that). Here each program DMAs the q/k/v column sections of the qkv
+    matmul's natural output and writes the (B, T, H*hd) layout that the
+    out-projection consumes — no relayout ever hits HBM. Mosaic requires
+    minor block dims to be 128-multiples, so all H heads ride in one
+    program (H*hd is 128-aligned for supported towers) and VMEM is kept
+    in budget by row-blocking the queries; k/v stay whole so every score
+    column is resident. Returns (B, T, H*hd).
+
+    Callers must check `qkv_kernel_supported` first.
+    """
+    B, T, D3 = qkv.shape
+    H, hd = num_heads, head_dim
+    cols = H * hd
+    assert D3 == 3 * cols and cols % 128 == 0
+    if scale is None:
+        scale = 1.0 / (hd ** 0.5)
+
+    TR = _qkv_row_block(T, cols, qkv.dtype.itemsize)
+    assert TR is not None
+    nr = -(-T // TR)
+
+    kernel = functools.partial(
+        _vit_attn_qkv_kernel, t_valid=T, heads=H, head_dim=hd, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nr),
+        in_specs=[
+            pl.BlockSpec((None, TR, cols), lambda b, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, cols), lambda b, r: (b, 0, 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, T, cols), lambda b, r: (b, 0, 2),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, TR, cols), lambda b, r: (b, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, cols), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
+def _qkv_row_block(T: int, cols: int, itemsize: int) -> int | None:
+    """Largest query row block keeping double-buffered tiles + one (TR, T)
+    f32 score matrix + its bf16 probabilities under the ~16 MB VMEM scope.
+    None if even TR=8 does not fit (caller falls back)."""
+    Ts = -(-T // 8) * 8
+    kv = 2 * Ts * cols * itemsize          # k + v (revisited, single copy)
+    for nr in (1, 2, 4, 8, 16):
+        TR = -(-T // nr // 8) * 8
+        qo = 2 * TR * cols * itemsize
+        total = 2 * (kv + qo) + TR * Ts * 6  # x2 double-buffer; s f32 + p bf16
+        # Mosaic's true scoped reservation runs ~1.5x this estimate
+        # (verified against its vmem-oom accounting at SigLIP shapes), so
+        # 10 MB here keeps the real allocation inside the 16 MB scope.
+        if total <= 10 * 2**20:
+            return TR
+    return None
+
+
+def qkv_kernel_supported(T: int, num_heads: int, head_dim: int,
+                         itemsize: int = 2) -> bool:
+    cols = num_heads * head_dim
+    return (cols % 128 == 0 and T <= MAX_WHOLE_FRAME_T
+            and _qkv_row_block(T, cols, itemsize) is not None)
+
+
+def encoder_attention_qkv(
+    qkv: jax.Array, num_heads: int, head_dim: int
+) -> jax.Array:
+    """Backend-dispatched attention from the fused qkv layout.
+
+    (B, T, 3*H*hd) -> (B, T, H*hd). TPU + T ≤ MAX_WHOLE_FRAME_T takes the
+    zero-relayout kernel above; everything else splits heads and reuses
+    `encoder_attention`.
+    """
+    B, T, _ = qkv.shape
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (on_tpu and T >= 256
+            and qkv_kernel_supported(T, num_heads, head_dim,
+                                     qkv.dtype.itemsize)):
+        return vit_attention_qkv(qkv, num_heads, head_dim)
+    q, k, v = jnp.split(
+        qkv.reshape(B, T, 3, num_heads, head_dim), 3, axis=2)
+    out = encoder_attention(q[:, :, 0], k[:, :, 0], v[:, :, 0])
+    return out.reshape(B, T, num_heads * head_dim)
 
 
 def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
