@@ -175,6 +175,9 @@ def vit_forward(
     # and falls back to the jnp oracle on CPU.
     from timeviper_tpu.ops.vit_attention import encoder_attention_qkv
 
+    if _use_fused_ln(cfg):
+        return _vit_blocks_fused_ln(params, cfg, x, act, nh, hd)
+
     # penultimate-layer features: run blocks [0, L-2), i.e. skip the last block
     for layer in params["layers"][: cfg.num_hidden_layers - 1]:
         res = x
@@ -191,4 +194,71 @@ def vit_forward(
         if "ls2" in layer:
             out = out * layer["ls2"]["gamma"].astype(out.dtype)
         x = res + out
+    return x[:, cfg.num_prefix_tokens :]
+
+
+def _use_fused_ln(cfg: ViTConfig) -> bool:
+    import os
+
+    from timeviper_tpu.ops.int8_linear import ACT_AMAX_SINK
+    from timeviper_tpu.ops.layernorm import fused_ln_supported
+
+    # default OFF until the on-chip A/B lands (same discipline as the
+    # fused conv+scan kernel: unmeasured fusions don't ship enabled)
+    mode = os.environ.get("TIMEVIPER_VIT_FUSED_LN", "0")
+    if mode != "1" or ACT_AMAX_SINK is not None:
+        # calibration capture must see the bf16 LN output through
+        # apply_linear_w8a8's amax sink — take the reference loop
+        return False
+    return fused_ln_supported(cfg.hidden_size)
+
+
+def _vit_blocks_fused_ln(params, cfg, x, act, nh, hd):
+    """Encoder blocks with residual-add + LayerNorm (+ W8A8 activation
+    quantize) fused into one Pallas pass per norm (ops/layernorm.py). Same
+    math as the reference loop in `vit_forward` — the residual add moves
+    inside the kernel, and when a following projection is W8A8-calibrated
+    the normalized activation goes straight to int8 without a bf16
+    round-trip."""
+    from timeviper_tpu.ops.int8_linear import w8a8_matmul_prequant
+    from timeviper_tpu.ops.layernorm import fused_ln
+    from timeviper_tpu.ops.vit_attention import encoder_attention_qkv
+
+    eps = cfg.layer_norm_eps
+
+    def inv_of(leaf):
+        return leaf["act_inv"] if ("kernel_q" in leaf and "act_inv" in leaf) \
+            else None
+
+    def matmul(leaf, n, inv):
+        if inv is not None:
+            return w8a8_matmul_prequant(leaf, n, x.dtype)
+        return _apply_linear(leaf, n)
+
+    pending = None  # (res, delta): residual add owed to the next norm
+    for layer in params["layers"][: cfg.num_hidden_layers - 1]:
+        qkv_p = layer["attn"]["qkv"]
+        inv1 = inv_of(qkv_p)
+        if pending is None:
+            n = fused_ln(x, layer["norm1"]["weight"], layer["norm1"]["bias"],
+                         eps=eps, act_inv=inv1)
+        else:
+            x, n = fused_ln(
+                pending[1], layer["norm1"]["weight"], layer["norm1"]["bias"],
+                eps=eps, residual=pending[0], act_inv=inv1)
+        qkv = matmul(qkv_p, n, inv1)
+        out = encoder_attention_qkv(qkv, nh, hd)
+        out = _apply_linear(layer["attn"]["proj"], out)
+        if "ls1" in layer:
+            out = out * layer["ls1"]["gamma"].astype(out.dtype)
+
+        fc1_p = layer["mlp"]["fc1"]
+        inv2 = inv_of(fc1_p)
+        x, n = fused_ln(out, layer["norm2"]["weight"], layer["norm2"]["bias"],
+                        eps=eps, residual=x, act_inv=inv2)
+        h = _apply_linear(layer["mlp"]["fc2"], act(matmul(fc1_p, n, inv2)))
+        if "ls2" in layer:
+            h = h * layer["ls2"]["gamma"].astype(h.dtype)
+        pending = (x, h)
+    x = pending[0] + pending[1] if pending is not None else x
     return x[:, cfg.num_prefix_tokens :]

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["apply_linear_w8a8", "ACT_AMAX_SINK"]
+__all__ = ["apply_linear_w8a8", "w8a8_matmul_prequant", "ACT_AMAX_SINK"]
 
 # When a list is installed here (see models/vit.py calibrate_vit_int8),
 # apply_linear_w8a8 appends jnp.max(|x|) per call in trace order instead
@@ -66,6 +66,19 @@ def apply_linear_w8a8(p, x, use_int8_mxu: bool = True):
     else:
         w = p["kernel_q"].astype(x.dtype) * p["kernel_scale"].astype(x.dtype)
         y = jnp.einsum("...i,io->...o", x, w)
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+def w8a8_matmul_prequant(p, xq, out_dtype=jnp.bfloat16):
+    """int8-MXU matmul for an activation already quantized by the producer
+    (ops/layernorm.py fuses clip(round(y * act_inv)) into the LayerNorm,
+    skipping the bf16 materialization of the normalized activation)."""
+    acc = jnp.einsum("...i,io->...o", xq, p["kernel_q"],
+                     preferred_element_type=jnp.int32)
+    scale = p["kernel_scale"] / p["act_inv"]  # (out,) f32, fused
+    y = (acc.astype(jnp.float32) * scale).astype(out_dtype)
     if p.get("bias") is not None:
         y = y + p["bias"].astype(y.dtype)
     return y
