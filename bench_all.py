@@ -159,9 +159,13 @@ def bench_serving(results):
     from timeviper_tpu.serving.engine import Request, ServingEngine
     from timeviper_tpu.train.quantize import quantize_params_int8
 
+    import os
+
     full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    n_layers = int(os.environ.get("BENCH_SERVING_LAYERS", "26"))
     lcfg = NanoConfig(
-        num_hidden_layers=26, hybrid_override_pattern=(full * 2)[:26],
+        num_hidden_layers=n_layers,
+        hybrid_override_pattern=(full * 2)[:n_layers],
         vocab_size=2048)
     arch = VLMArch(vlm=VLMConfig(arch_specifier="tome_mlp-16"),
                    vision=tiny_vit_config(), llm=lcfg, llm_family="nano")
@@ -192,7 +196,7 @@ def bench_serving(results):
     dt = time.perf_counter() - t0
     out_toks = sum(len(r.output_ids) for r in done if not r.error)
     results.append({
-        "metric": "serving_26L_int8_mixed_16req",
+        "metric": f"serving_{n_layers}L_int8_mixed_16req",
         "value": round(len(reqs) / dt, 2), "unit": "requests/sec",
         "output_tokens_per_sec": round(out_toks / dt, 1),
         "prompt_tokens": sum(lengths), "new_tokens_per_req": 32,
@@ -223,6 +227,20 @@ def bench_vision(results):
     dt = _timeit(lambda: _sync(enc(params, pixels)))
     results.append({
         "metric": "siglip_so400m_384_encode_tome16",
+        "value": round(F / dt, 1), "unit": "frames/sec",
+    })
+
+    # the production serving path: W8A8 with calibrated static activation
+    # scales (what bench.py's e2e headline runs)
+    from timeviper_tpu.train.quantize import (
+        calibrate_act_scales, quantize_params_int8)
+
+    qparams = jax.jit(lambda p: quantize_params_int8(p))(params)
+    qparams = calibrate_act_scales(
+        lambda p, px: vit_forward(p, cfg, px), qparams, [pixels])
+    dt = _timeit(lambda: _sync(enc(qparams, pixels)))
+    results.append({
+        "metric": "siglip_so400m_384_encode_tome16_w8a8",
         "value": round(F / dt, 1), "unit": "frames/sec",
     })
 
