@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 __all__ = ["apply_linear_w8a8", "w8a8_matmul_prequant", "ACT_AMAX_SINK"]
 
-# When a list is installed here (see models/vit.py calibrate_vit_int8),
+# When a list is installed here (see train/quantize.py calibrate_act_scales),
 # apply_linear_w8a8 appends jnp.max(|x|) per call in trace order instead
 # of quantizing — the calibration capture mechanism.
 ACT_AMAX_SINK: list | None = None
