@@ -70,6 +70,70 @@ def fused_ln_supported(D: int) -> bool:
     return D % 128 == 0
 
 
+# --- reverse-mode support -------------------------------------------------
+# The Pallas forward is wrapped in a custom VJP whose backward is the
+# standard LayerNorm gradient in jnp (XLA fuses it well; the backward is
+# not on the inference hot path this kernel exists for). The int8-quant
+# variant stays non-differentiable by construction — it only ever runs
+# against frozen W8A8 weights.
+
+def _ln_bwd_math(x, w, dy, eps):
+    xf = x.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mean) * rstd
+    g = dyf * wf
+    dx = rstd * (g - g.mean(-1, keepdims=True)
+                 - xhat * (g * xhat).mean(-1, keepdims=True))
+    red = tuple(range(x.ndim - 1))
+    dw = (dyf * xhat).sum(red)
+    db = dyf.sum(red)
+    return dx.astype(x.dtype), dw.astype(w.dtype), db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _fused_ln_diff(x, weight, bias, eps):
+    return _fused_ln_pallas(x, weight, bias, eps=eps)
+
+
+def _fused_ln_diff_fwd(x, weight, bias, eps):
+    return _fused_ln_pallas(x, weight, bias, eps=eps), (x, weight)
+
+
+def _fused_ln_diff_bwd(eps, resids, dy):
+    x, w = resids
+    dx, dw, db = _ln_bwd_math(x, w, dy, eps)
+    return dx, dw, db.astype(w.dtype)
+
+
+_fused_ln_diff.defvjp(_fused_ln_diff_fwd, _fused_ln_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_ln_res_diff(res, out, weight, bias, eps):
+    return _fused_ln_res_pallas(res, out, weight, bias, eps=eps)
+
+
+def _fused_ln_res_diff_fwd(res, out, weight, bias, eps):
+    x_new, y = _fused_ln_res_pallas(res, out, weight, bias, eps=eps)
+    return (x_new, y), (res, out, weight)
+
+
+def _fused_ln_res_diff_bwd(eps, resids, cts):
+    res, out, w = resids
+    d_xnew, dy = cts
+    x = res + out
+    dx, dw, db = _ln_bwd_math(x, w, dy, eps)
+    dtot = dx + d_xnew.astype(dx.dtype)
+    return dtot, dtot, dw, db.astype(w.dtype)
+
+
+_fused_ln_res_diff.defvjp(_fused_ln_res_diff_fwd, _fused_ln_res_diff_bwd)
+
+
 def fused_ln(
     x: jax.Array,                     # (..., D) — or `out` when res given
     weight: jax.Array,                # (D,)
@@ -89,7 +153,26 @@ def fused_ln(
     `residual`, returns `(x_new, y)` where `x_new = residual + x` (the
     tensor the next residual consumes). D must be a 128-multiple
     (`fused_ln_supported`).
+
+    The bf16/f32 variants are reverse-mode differentiable (Pallas forward,
+    jnp LayerNorm-gradient backward); the int8 variant is inference-only.
     """
+    if act_inv is None and interpret is None:
+        if residual is None:
+            return _fused_ln_diff(x, weight, bias, eps)
+        return _fused_ln_res_diff(residual, x, weight, bias, eps)
+    if residual is None:
+        return _fused_ln_pallas(x, weight, bias, eps=eps, act_inv=act_inv,
+                                rows_per_block=rows_per_block,
+                                interpret=interpret)
+    return _fused_ln_res_pallas(residual, x, weight, bias, eps=eps,
+                                act_inv=act_inv,
+                                rows_per_block=rows_per_block,
+                                interpret=interpret)
+
+
+def _fused_ln_pallas(x, weight, bias, *, eps, act_inv=None,
+                     rows_per_block=512, interpret=None):
     D = x.shape[-1]
     assert fused_ln_supported(D)
     assert weight.shape == (D,) and bias.shape == (D,)
@@ -114,21 +197,47 @@ def fused_ln(
     inv_spec = pl.BlockSpec((1, 1), lambda r: (0, 0),
                             memory_space=pltpu.SMEM)
 
-    if residual is None:
-        kernel = functools.partial(_ln_kernel, eps=eps, quant=quant)
-        y = pl.pallas_call(
-            kernel,
-            grid=(nr,),
-            in_specs=[row_spec, vec_spec, vec_spec, inv_spec],
-            out_specs=row_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, D), ydtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)),
-            interpret=interpret,
-        )(x2, w2, b2, inv2)
-        return y.reshape(*lead, D)
+    kernel = functools.partial(_ln_kernel, eps=eps, quant=quant)
+    y = pl.pallas_call(
+        kernel,
+        grid=(nr,),
+        in_specs=[row_spec, vec_spec, vec_spec, inv_spec],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, D), ydtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(x2, w2, b2, inv2)
+    return y.reshape(*lead, D)
 
+
+def _fused_ln_res_pallas(residual, x, weight, bias, *, eps, act_inv=None,
+                         rows_per_block=512, interpret=None):
+    D = x.shape[-1]
+    assert fused_ln_supported(D)
+    assert weight.shape == (D,) and bias.shape == (D,)
+    if interpret is None:  # off-TPU there is no Mosaic: emulate
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    x2 = x.reshape(rows, D)
     res2 = residual.reshape(rows, D)
+    R = min(rows_per_block, -(-rows // 8) * 8)
+    nr = -(-rows // R)
+
+    w2 = weight.reshape(1, D)
+    b2 = bias.reshape(1, D)
+    quant = act_inv is not None
+    inv2 = (jnp.asarray(act_inv, jnp.float32) if quant
+            else jnp.ones((), jnp.float32)).reshape(1, 1)
+    ydtype = jnp.int8 if quant else x.dtype
+    row_spec = pl.BlockSpec((R, D), lambda r: (r, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, D), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    inv_spec = pl.BlockSpec((1, 1), lambda r: (0, 0),
+                            memory_space=pltpu.SMEM)
+
     kernel = functools.partial(_ln_res_kernel, eps=eps, quant=quant)
     x_new, y = pl.pallas_call(
         kernel,
