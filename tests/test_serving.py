@@ -75,6 +75,33 @@ def _check_teacher_forced(params, arch, prompts, out):
                 t, tok, int(row.argmax()), float(row.max() - row[tok]))
 
 
+def test_engine_with_seq_mesh_matches_teacher_forcing():
+    """ServingEngine(mesh=...) — sequence-sharded prefill feeding the slot
+    decode (the vLLM-TP serving analog) — must serve teacher-forced-valid
+    tokens and complete every request, same as the mesh-less engine."""
+    from timeviper_tpu.parallel.sharding import make_mesh
+
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=tiny_vit_config(),
+        llm=tiny_nano_config(),
+        llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    prompts = [[5 + i, 6, 7, 8, 9, 10] for i in range(3)]
+
+    eng = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=2, max_len=256,
+        max_new_tokens=5, cache_dtype=jnp.float32, steps_per_sync=4,
+        mesh=make_mesh(data=1, seq=8),
+    )
+    out = eng.run([Request(request_id=i, input_ids=p, max_new_tokens=5)
+                   for i, p in enumerate(prompts)])
+    assert all(r.done for r in out)
+    assert all(len(r.output_ids) == 5 for r in out)
+    _check_teacher_forced(params, arch, prompts, out)
+
+
 def test_terminator_stops_early():
     arch = VLMArch(
         vlm=VLMConfig(arch_specifier="tome_mlp-2"),
