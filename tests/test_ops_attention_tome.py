@@ -174,6 +174,32 @@ def test_vit_attention_qkv_fused_layout_matches_oracle():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_vit_attention_qkv_multi_row_block():
+    """The production SigLIP shape (T=729, H*hd=1152, bf16) needs several
+    query row blocks per program grid (VMEM budget) plus tail padding —
+    exercise that path in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timeviper_tpu.ops.attention import attention
+    from timeviper_tpu.ops.vit_attention import (
+        _qkv_row_block, vit_attention_qkv)
+
+    B, T, H, hd = 1, 729, 16, 72
+    assert _qkv_row_block(T, H * hd, 2) not in (None, -(-T // 8) * 8), (
+        "shape no longer exercises multiple row blocks; pick a bigger one")
+    qkv = (jax.random.normal(jax.random.PRNGKey(9), (B, T, 3 * H * hd),
+                             jnp.float32) * 0.5).astype(jnp.bfloat16)
+    got = vit_attention_qkv(qkv, H, hd, interpret=True).astype(jnp.float32)
+    q, k, v = jnp.split(qkv.reshape(B, T, 3, H, hd), 3, axis=2)
+    want = attention(q[:, :, 0], k[:, :, 0], v[:, :, 0]).astype(
+        jnp.float32).reshape(B, T, H * hd)
+    g, w = np.asarray(got), np.asarray(want)
+    rms = np.sqrt(((g - w) ** 2).mean()) / (np.sqrt((w ** 2).mean()) + 1e-9)
+    assert rms < 3e-2, rms
+
+
 def test_encoder_attention_qkv_dispatch_fallback():
     """Unaligned head layouts (H*hd % 128 != 0) must fall back to the
     head-split path and still match the oracle."""
