@@ -55,9 +55,11 @@ def get_args(argv=None):
     p.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel shards for params (TP rules + "
                         "GSPMD)")
-    p.add_argument("--use_serving_engine", action="store_true",
+    p.add_argument("--use_serving_engine", "--use_vllm_inference",
+                   action="store_true", dest="use_serving_engine",
                    help="batch generation through the continuous-batching "
-                        "engine (the reference's --use_vllm_inference analog)")
+                        "engine (the reference's --use_vllm_inference analog; "
+                        "both spellings accepted)")
     p.add_argument("--serving_slots", type=int, default=4)
     p.add_argument("--score_only", action="store_true")
     p.add_argument("--limit", type=int, default=0,
