@@ -37,6 +37,30 @@ def test_internvideo2_shapes():
     assert out.shape == (2, 8, 32)
 
 
+def test_internvideo2_w8a8_close_to_fp(monkeypatch):
+    """The IV2 tower runs through the same int8 dispatch as the timm ViT:
+    quantize + calibrate + int8-MXU forward stays within quantization
+    noise of the fp forward."""
+    import numpy as np
+
+    from timeviper_tpu.train.quantize import (
+        calibrate_act_scales, quantize_params_int8)
+
+    cfg = tiny_iv2_config()
+    params = init_internvideo2_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    frames = jax.random.normal(jax.random.PRNGKey(1), (4, 28, 28, 3))
+    want = np.asarray(encode_frames_iv2(params, cfg, frames), np.float32)
+
+    qparams = quantize_params_int8(params, min_size=1)
+    qparams = calibrate_act_scales(
+        lambda p, f: encode_frames_iv2(p, cfg, f), qparams, [frames])
+    monkeypatch.setenv("TIMEVIPER_VIT_INT8_MXU", "1")
+    got = np.asarray(encode_frames_iv2(qparams, cfg, frames), np.float32)
+    rms = np.sqrt(((got - want) ** 2).mean()) / (np.sqrt(
+        (want ** 2).mean()) + 1e-9)
+    assert rms < 5e-2, rms
+
+
 def test_multi_tower_interleave():
     towers = (
         ("tiny-a", "siglip", tiny_vit_config()),

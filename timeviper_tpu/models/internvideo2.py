@@ -35,6 +35,14 @@ def _linear(key, d_in, d_out, dtype, bias=True):
 
 
 def _apply_linear(p, x):
+    if "kernel_q" in p:
+        # same int8 dispatch as the timm ViT (models/vit.py): W8A8 with
+        # calibrated static activation scales on TPU, weight-only
+        # dequantization otherwise — so quantize_params_int8 +
+        # calibrate_act_scales work on the IV2 tower too
+        from timeviper_tpu.models.vit import _apply_linear as _vit_linear
+
+        return _vit_linear(p, x)
     y = jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype))
     if p.get("bias") is not None:
         y = y + p["bias"].astype(y.dtype)
@@ -271,8 +279,10 @@ def internvideo2_forward(
     x = clips.reshape(B, T // tb, tb, g, ps, g, ps, 3)
     x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))  # B,T',g,g,tb,ps,ps,3
     x = x.reshape(B, (T // tb) * g * g, tb * ps * ps * 3)
-    x = _apply_linear(params["patch_embed"], x.astype(
-        params["patch_embed"]["kernel"].dtype))
+    pe = params["patch_embed"]
+    if "kernel" in pe:  # int8-quantized leaves take x's own float dtype
+        x = x.astype(pe["kernel"].dtype)
+    x = _apply_linear(pe, x)
 
     cls = jnp.broadcast_to(
         params["cls_token"].astype(x.dtype), (B, 1, d))
