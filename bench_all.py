@@ -442,6 +442,36 @@ def check_onchip(results):
          jax.jit(attention)(qs[:, :, 0], ks[:, :, 0], vs[:, :, 0]).reshape(
              Bv, Tv, Hv * hdv), 3e-2)
 
+    # --- fused residual+LayerNorm(+int8 quantize) kernel vs jnp ---
+    from timeviper_tpu.ops.layernorm import fused_ln
+
+    Dn = 1152
+    kn = jax.random.split(jax.random.PRNGKey(12), 4)
+    xres = jax.random.normal(kn[0], (4, 729, Dn), jnp.bfloat16)
+    xout = jax.random.normal(kn[1], (4, 729, Dn), jnp.bfloat16)
+    wn = (jax.random.normal(kn[2], (Dn,)) * 0.2 + 1.0).astype(jnp.float32)
+    bn = (jax.random.normal(kn[3], (Dn,)) * 0.1).astype(jnp.float32)
+
+    def _ln_ref(x):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = xf.var(-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + 1e-6) * wn + bn
+
+    xn_got, yq_got = jax.jit(lambda r, o: fused_ln(
+        o, wn, bn, eps=1e-6, residual=r,
+        act_inv=jnp.float32(127.0 / 6.0)))(xres, xout)
+    _cmp("fused_ln_res_x_vs_oracle", xn_got,
+         jax.jit(lambda r, o: r + o)(xres, xout), 3e-2)
+    yq_ref = jax.jit(lambda r, o: jnp.clip(
+        jnp.round(_ln_ref((r + o).astype(jnp.bfloat16)) * (127.0 / 6.0)),
+        -127, 127))(xres, xout)
+    _cmp("fused_ln_res_q_vs_oracle", yq_got.astype(jnp.float32),
+         yq_ref, 3e-2)
+    _cmp("fused_ln_plain_vs_oracle",
+         jax.jit(lambda x: fused_ln(x, wn, bn, eps=1e-6))(xres),
+         jax.jit(lambda x: _ln_ref(x).astype(jnp.bfloat16))(xres), 3e-2)
+
     if failures:
         for r in results:
             print(json.dumps(r))
