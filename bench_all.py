@@ -483,6 +483,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--check", action="store_true",
                     help="run on-chip kernel correctness checks only")
+    ap.add_argument("--only", default=None,
+                    help="run a single bench by suffix, e.g. 'serving'")
     args = ap.parse_args()
     results = []
     if args.check:
@@ -514,8 +516,14 @@ def main():
                 f.write(json.dumps(
                     {**r, "commit": commit, "ts": stamp}) + "\n")
         return
-    for fn in (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
-               bench_serving, bench_train):
+    benches = (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
+               bench_serving, bench_train)
+    if args.only:
+        benches = tuple(f for f in benches
+                        if f.__name__.endswith(args.only))
+        if not benches:
+            ap.error(f"no bench matches --only {args.only!r}")
+    for fn in benches:
         try:
             fn(results)
         except Exception as e:  # noqa: BLE001
