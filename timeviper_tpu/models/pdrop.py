@@ -174,12 +174,13 @@ def _ca_kv(dropped_feats: jax.Array, merge_stage_params, cfg):
 
 
 def merge_dropped_cached(hidden: jax.Array, ca_kv, merge_stage_params, cfg):
-    """Decode-time TransV: newly generated tokens (B, 1, D) cross-attend
+    """Decode-time TransV: newly generated tokens (B, S, D) cross-attend
     onto the CACHED dropped-token K/V with the same alpha.tanh() gate the
-    prefill merge used (cross_attention.py:218-324 decode reuse)."""
+    prefill merge used (cross_attention.py:218-324 decode reuse). S is 1
+    at decode; the prefix-cache continuation passes whole suffixes."""
     p = merge_stage_params["cross_attn"]
     Hq, hd = cfg.num_attention_heads, cfg.head_dim
-    B = hidden.shape[0]
+    B, S = hidden.shape[0], hidden.shape[1]
 
     def proj(pp, x):
         y = x @ pp["kernel"].astype(x.dtype)
@@ -187,13 +188,13 @@ def merge_dropped_cached(hidden: jax.Array, ca_kv, merge_stage_params, cfg):
             y = y + pp["bias"].astype(y.dtype)
         return y
 
-    q = proj(p["q_proj"], hidden).reshape(B, 1, Hq, hd)
+    q = proj(p["q_proj"], hidden).reshape(B, S, Hq, hd)
     k = jnp.broadcast_to(ca_kv["k"][None].astype(hidden.dtype),
                          (B, *ca_kv["k"].shape))
     v = jnp.broadcast_to(ca_kv["v"][None].astype(hidden.dtype),
                          (B, *ca_kv["v"].shape))
     out = cross_attention(q, k, v)
-    out = proj(p["o_proj"], out.reshape(B, 1, Hq * hd))
+    out = proj(p["o_proj"], out.reshape(B, S, Hq * hd))
     alpha = merge_stage_params["alpha"].astype(hidden.dtype)
     return hidden + jnp.tanh(alpha) * out
 

@@ -1,0 +1,308 @@
+"""Video prefix caching: multi-token continuation on a filled decode cache.
+
+Multi-question video benchmarks ask several questions about the SAME video
+(VideoMME ships 3 questions per video, LVBench/MLVU similar). The reference
+re-runs the full vision encode + LLM prefill for every question
+(evaluate.py:359-679 loops items independently; its vLLM path cannot help —
+vLLM disables prefix caching for mamba-family models because the SSM state
+is not block-addressable). The hybrid backbone makes prefix reuse *cheap*
+in a way transformers never get: 46 of 52 layers carry O(1) state
+(conv_state + ssm_state, ~4 MB/layer), so a cached video prefix is a small
+pytree plus the 4 attention layers' KV rows.
+
+`nano_forward_continue` runs S suffix tokens (the question) on top of a
+cache holding `length` already-processed tokens:
+
+* Mamba layers continue exactly: the conv tail is the cache's rolling
+  raw-input window (ops/conv.py init_conv_state layout) and the SSD scan
+  starts from the cached `ssm_state` (the same `initial_state` mechanism
+  the chunked long-context forward uses, models/longctx.py).
+* Attention layers append S KV rows at [length, length+S) and the suffix
+  queries attend over the whole prefix with a kv-chunked online-softmax
+  (flash-style accumulation in jnp — S is tiny, the prefix is long).
+* Suffix padding is TRAILING and *exactly inert*: pad positions get a raw
+  dt of -1e9, so softplus(dt + dt_bias) == 0.0 in f32, exp(dt·A) == 1 and
+  the dt·B·x contribution is 0 — the SSM state is frozen through pads and
+  the final state equals the state at the real suffix end. The conv state
+  is sliced at the real length; pad KV rows are masked and then
+  overwritten by subsequent decode steps. One executable therefore serves
+  every suffix length in a bucket.
+
+Because the nano backbone has no RoPE (SURVEY.md §5.7: NemotronHAttention
+is position-embedding-free), a continuation from a cached prefix computes
+exactly the same function as one fused prefill — tested token-identical in
+tests/test_prefix_cache.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from timeviper_tpu.config import NanoConfig
+from timeviper_tpu.models.nano import (
+    _apply_linear,
+    compute_logits,
+    mlp_mixer_forward,
+)
+from timeviper_tpu.ops.conv import causal_conv1d
+from timeviper_tpu.ops.norms import gated_rms_norm, rms_norm
+from timeviper_tpu.ops.ssd_pallas import ssd_auto_continue
+
+# pre-softplus dt for inert pad positions: softplus(-1e9 + dt_bias) == 0.0
+# exactly in float32 for any realistic dt_bias, so exp(dt*A) == 1 and the
+# state contribution dt*B*x == 0 — pads leave the SSM state untouched.
+_DT_NEG = -1.0e9
+
+
+def _mamba_continue(
+    p: Dict[str, Any],
+    cfg: NanoConfig,
+    x: jax.Array,          # (B, S, D) normed suffix (trailing pads)
+    cache_layer: Dict[str, Any],
+    real_mask: jax.Array,  # (S,) bool, True at real positions
+    real_len: jax.Array,   # int32 scalar
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    B, S, _ = x.shape
+    d_inner = cfg.mamba_intermediate_size
+    G, N, H, P = (cfg.mamba_n_groups, cfg.ssm_state_size,
+                  cfg.mamba_num_heads, cfg.mamba_head_dim)
+    K = cfg.mamba_d_conv
+
+    ip = p["in_proj"]
+    gate = _apply_linear(ip["gate"], x)
+    xr = _apply_linear(ip["x"], x)
+    Br = _apply_linear(ip["B"], x)
+    Cr = _apply_linear(ip["C"], x)
+    dt = _apply_linear(ip["dt"], x)
+    # inert pads: state frozen, contribution zero (module docstring)
+    dt = jnp.where(real_mask[None, :, None], dt, _DT_NEG)
+
+    cs = cache_layer["conv_state"]
+    new_conv = {}
+
+    def conv_cont(raw, state, part, name):
+        # state: (B, C, K) rolling raw window, oldest first — the last K-1
+        # raw prefix inputs are state[..., 1:]
+        tail = jnp.swapaxes(state[..., 1:], 1, 2).astype(raw.dtype)
+        ext = jnp.concatenate([tail, raw], axis=1)  # (B, K-1+S, C)
+        out = causal_conv1d(ext, part["weight"], part["bias"],
+                            activation=cfg.mamba_hidden_act)[:, K - 1:]
+        # new rolling window: last K raw inputs ending at real_len-1 sit at
+        # ext columns [real_len-1, real_len+K-1)
+        win = jax.lax.dynamic_slice_in_dim(ext, real_len - 1, K, axis=1)
+        new_conv[name] = jnp.swapaxes(win, 1, 2).astype(state.dtype)
+        return out
+
+    xsv = conv_cont(xr, cs["x"], p["conv1d"]["x"], "x")
+    Bc = conv_cont(Br, cs["B"], p["conv1d"]["B"], "B")
+    Cc = conv_cont(Cr, cs["C"], p["conv1d"]["C"], "C")
+
+    y, final_state = ssd_auto_continue(
+        xsv.reshape(B, S, H, P),
+        dt,
+        -jnp.exp(p["A_log"]),
+        Bc.reshape(B, S, G, N),
+        Cc.reshape(B, S, G, N),
+        initial_state=cache_layer["ssm_state"],
+        chunk_size=cfg.chunk_size,
+        D=p["D"],
+        dt_bias=p["dt_bias"],
+        dt_limit=cfg.time_step_limit,
+        return_final_state=True,
+    )
+    y = y.reshape(B, S, d_inner)
+    y = gated_rms_norm(y, gate, p["norm"]["weight"],
+                       eps=cfg.layer_norm_epsilon, group_size=d_inner // G)
+    out = _apply_linear(p["out_proj"], y)
+    return out, {"conv_state": new_conv, "ssm_state": final_state}
+
+
+def attention_suffix(
+    q: jax.Array,          # (B, S, Hq, hd)
+    k: jax.Array,          # (B, M, Hkv, hd) cache buffer incl. suffix rows
+    v: jax.Array,
+    length: jax.Array,     # prefix rows filled: suffix row i is at length+i
+    valid_from: jax.Array,
+    kv_valid_mask: Optional[jax.Array] = None,  # (M,) extra slot validity
+    kv_chunk: int = 2048,
+) -> jax.Array:
+    """Online-softmax attention of a short suffix over a long cached prefix.
+
+    Validity for query i: slot j iff valid_from <= j < length + i + 1 (the
+    prefix plus the causal part of the suffix). Scans the KV buffer in
+    chunks so peak memory is O(S · kv_chunk) instead of O(S · M)."""
+    B, S, Hq, hd = q.shape
+    M, Hkv = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    scale = 1.0 / (hd ** 0.5)
+
+    Mpad = -(-M // kv_chunk) * kv_chunk
+    if Mpad != M:
+        padw = ((0, 0), (0, Mpad - M), (0, 0), (0, 0))
+        k = jnp.pad(k, padw)
+        v = jnp.pad(v, padw)
+    nchunks = Mpad // kv_chunk
+
+    qf = (q * scale).reshape(B, S, Hkv, rep, hd).astype(jnp.float32)
+    kc = jnp.moveaxis(k.reshape(B, nchunks, kv_chunk, Hkv, hd), 1, 0)
+    vc = jnp.moveaxis(v.reshape(B, nchunks, kv_chunk, Hkv, hd), 1, 0)
+    qpos = jnp.arange(S, dtype=jnp.int32)  # suffix row i -> cache row length+i
+
+    base = jnp.arange(kv_chunk, dtype=jnp.int32)
+    mask_extra = None
+    if kv_valid_mask is not None:
+        mask_extra = jnp.moveaxis(
+            jnp.pad(kv_valid_mask, (0, Mpad - M)).reshape(nchunks, kv_chunk),
+            0, 0)
+
+    def body(carry, inp):
+        m, l, acc = carry
+        if mask_extra is not None:
+            ci, kch, vch, extra = inp
+        else:
+            ci, kch, vch = inp
+            extra = None
+        slots = ci * kv_chunk + base  # (C,)
+        # (S, C): slot valid for query i
+        ok = (slots[None, :] >= valid_from) & (
+            slots[None, :] < length + qpos[:, None] + 1)
+        if extra is not None:
+            # extra mask applies to prefix slots only; suffix rows the
+            # continuation itself wrote are always valid
+            ok = ok & (extra[None, :] | (slots[None, :] >= length))
+        s = jnp.einsum("bshrd,bchd->bhrsc", qf, kch.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        s = jnp.where(ok[None, None, None], s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        # guard fully-masked rows: keep m finite so exp() stays 0, not nan
+        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        p = jnp.exp(s - m_safe[..., None])
+        corr = jnp.where(jnp.isneginf(m), 0.0, jnp.exp(m - m_safe))
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhrsc,bchd->bhrsd", p, vch.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((B, Hkv, rep, S), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, rep, S), jnp.float32)
+    a0 = jnp.zeros((B, Hkv, rep, S, hd), jnp.float32)
+    xs = (jnp.arange(nchunks, dtype=jnp.int32), kc, vc)
+    if mask_extra is not None:
+        xs = xs + (mask_extra,)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, a0), xs)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    # (B, Hkv, rep, S, hd) -> (B, S, Hq, hd)
+    out = jnp.moveaxis(out.reshape(B, Hq, S, hd), 1, 2)
+    return out.astype(q.dtype)
+
+
+def _attention_continue(
+    p: Dict[str, Any],
+    cfg: NanoConfig,
+    x: jax.Array,          # (B, S, D) normed suffix
+    cache_layer: Dict[str, Any],
+    length: jax.Array,
+    valid_from: jax.Array,
+    kv_valid_mask: Optional[jax.Array],
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    B, S, _ = x.shape
+    Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    q = _apply_linear(p["q_proj"], x).reshape(B, S, Hq, hd)
+    k_new = _apply_linear(p["k_proj"], x).reshape(B, S, Hkv, hd)
+    v_new = _apply_linear(p["v_proj"], x).reshape(B, S, Hkv, hd)
+    zero = jnp.zeros((), length.dtype)
+    k = jax.lax.dynamic_update_slice(
+        cache_layer["k"], k_new.astype(cache_layer["k"].dtype),
+        (zero, length, zero, zero))
+    v = jax.lax.dynamic_update_slice(
+        cache_layer["v"], v_new.astype(cache_layer["v"].dtype),
+        (zero, length, zero, zero))
+    out = attention_suffix(q, k, v, length, valid_from,
+                           kv_valid_mask=kv_valid_mask)
+    out = _apply_linear(p["o_proj"], out.reshape(B, S, Hq * hd))
+    return out, {"k": k, "v": v}
+
+
+def nano_forward_continue(
+    params: Dict[str, Any],
+    cfg: NanoConfig,
+    inputs_embeds: jax.Array,  # (B, S, D), trailing pads beyond real_len
+    cache: Dict[str, Any],
+    real_len: jax.Array,       # int32: real (unpadded) suffix length
+    pdrop_params=None,
+):
+    """Run a suffix on top of a filled cache; return (last_logits, cache).
+
+    `last_logits`: (B, vocab) at suffix position real_len-1 — feed the
+    decode loop exactly like a prefill's first logits. The updated cache
+    has length += real_len; the INPUT cache pytree is untouched (jax
+    arrays are immutable), so one video prefix serves many questions.
+    """
+    B, S, _ = inputs_embeds.shape
+    length = cache["length"]
+    valid_from = cache.get("valid_from", jnp.zeros((), jnp.int32))
+    real_mask = jnp.arange(S, dtype=jnp.int32) < real_len
+
+    kv_valid_mask = cache.get("kv_valid")
+
+    # decode-time TransV re-merge (nano_decode_step semantics) generalizes
+    # to multi-token suffixes: every suffix token cross-attends the cached
+    # dropped-token K/V at the stage's layer
+    ca_by_layer = {}
+    ca_kvs = cache.get("ca_kv")
+    if ca_kvs is not None and pdrop_params is not None:
+        for si, st in enumerate(cfg.pdrop_stages):
+            if (si < len(ca_kvs) and ca_kvs[si]
+                    and si < len(pdrop_params)
+                    and pdrop_params[si] is not None):
+                ca_by_layer[st.layer] = (ca_kvs[si], pdrop_params[si])
+
+    hidden = inputs_embeds
+    new_layers = []
+    for idx, block_type in enumerate(cfg.layers_block_type):
+        if idx in ca_by_layer:
+            from timeviper_tpu.models.pdrop import merge_dropped_cached
+
+            kv, mp = ca_by_layer[idx]
+            hidden = merge_dropped_cached(hidden, kv, mp, cfg)
+        lp = params["layers"][idx]
+        residual = hidden
+        normed = rms_norm(hidden, lp["norm"]["weight"],
+                          eps=cfg.layer_norm_epsilon)
+        if block_type == "mamba":
+            out, lc = _mamba_continue(
+                lp["mixer"], cfg, normed, cache["layers"][idx],
+                real_mask, real_len)
+        elif block_type == "attention":
+            out, lc = _attention_continue(
+                lp["mixer"], cfg, normed, cache["layers"][idx],
+                length, valid_from, kv_valid_mask)
+        else:
+            out = mlp_mixer_forward(lp["mixer"], cfg, normed)
+            lc = {}
+        hidden = residual + out
+        new_layers.append(lc)
+
+    hidden = rms_norm(hidden, params["norm_f"]["weight"],
+                      eps=cfg.layer_norm_epsilon)
+    last = jax.lax.dynamic_slice_in_dim(hidden, real_len - 1, 1, axis=1)
+    logits = compute_logits(params, last[:, 0])
+
+    new_cache: Dict[str, Any] = {
+        "layers": new_layers,
+        "length": length + real_len,
+        "valid_from": valid_from,
+    }
+    if kv_valid_mask is not None:
+        # suffix rows [length, length+real_len) become valid prefix slots
+        slots = jnp.arange(kv_valid_mask.shape[0], dtype=jnp.int32)
+        new_cache["kv_valid"] = kv_valid_mask | (
+            (slots >= length) & (slots < length + real_len))
+    if ca_kvs is not None:
+        new_cache["ca_kv"] = ca_kvs
+    return logits, new_cache

@@ -44,6 +44,10 @@ class Request:
     pixels: Optional[np.ndarray] = None
     image_token_id: int = -1
     max_new_tokens: int = 128
+    # multi-question serving: continue from a cached video prefix
+    # (engine.prefill_prefix; models/prefix_cache.py). input_ids is then
+    # the post-video question suffix only.
+    prefix: Optional[Any] = None
     # filled by the engine
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -112,6 +116,55 @@ class ServingEngine:
 
     def submit(self, req: Request) -> None:
         self.queue.append(req)
+
+    def prefill_prefix(self, input_ids, pixels=None, image_token_id=-1,
+                       suffix_budget: int = 512):
+        """Prefill a shared `system + <video>` prefix once for this engine;
+        the returned PrefixState is valid for any number of Requests
+        (prefix=state, input_ids=question suffix). The state's cache is
+        engine-capacity-sized so continuations land directly in slots."""
+        return self._gen.prefill_prefix(
+            input_ids, pixels=pixels, image_token_id=image_token_id,
+            suffix_budget=suffix_budget, cache_len=self.max_len)
+
+    def _dispatch_continue(self, req: Request, slot: int):
+        """Continuation analog of _dispatch_prefill: run the question
+        suffix on the cached video prefix (models/prefix_cache.py) and
+        insert the resulting state into a slot."""
+        st = req.prefix
+        if st.cache.get("ca_kv") is not None:
+            raise ValueError(
+                f"request {req.request_id}: pdrop prefix states are not"
+                " servable — dropping compacts the cache so its true row"
+                " count lives on device, but engine slots track lengths"
+                " host-side (use the offline Generator for pdrop)")
+        if st.cache_len != self.max_len:
+            raise ValueError(
+                f"request {req.request_id}: prefix cache_len {st.cache_len}"
+                f" != engine max_len {self.max_len} — build the prefix via"
+                " engine.prefill_prefix")
+        ids = list(req.input_ids)
+        chunk = self.arch.llm.chunk_size
+        sb = max(chunk, -(-len(ids) // chunk) * chunk)
+        if sb > st.suffix_budget:
+            raise ValueError(
+                f"request {req.request_id}: suffix {len(ids)} exceeds the"
+                f" prefix's suffix_budget {st.suffix_budget}")
+        total = st.bucket + len(ids)
+        if total + req.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"request {req.request_id}: prefix {st.bucket} + suffix"
+                f" {len(ids)} + max_new_tokens {req.max_new_tokens}"
+                f" exceeds engine max_len {self.max_len}")
+        ids_arr = np.full((sb,), self._gen.pad_token_id, np.int32)
+        ids_arr[: len(ids)] = ids  # trailing pads are exactly inert
+        cont = self._gen._get_continue(sb, self.max_len)
+        logits, cache1 = cont(self.params, jnp.asarray(ids_arr), st.cache,
+                              jnp.asarray(len(ids), jnp.int32))
+        first_tok = sample_token(
+            logits, jax.random.PRNGKey(req.request_id), self.sampling)
+        return {"req": req, "slot": slot, "cache1": cache1,
+                "first_tok": first_tok, "bucket": total, "pad": st.pad}
 
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self.slot_req) if r is None]
@@ -345,7 +398,10 @@ class ServingEngine:
                 slot = free.pop(0)
                 req = self.queue.pop(0)
                 try:
-                    pendings.append(self._dispatch_prefill(req, slot))
+                    if req.prefix is not None:
+                        pendings.append(self._dispatch_continue(req, slot))
+                    else:
+                        pendings.append(self._dispatch_prefill(req, slot))
                 except ValueError as e:
                     # per-request capacity failure (like vLLM's per-request
                     # rejection, vllm_infer.py) — don't abort the batch
