@@ -164,6 +164,84 @@ def test_one_prefix_many_questions():
                                   np.asarray(lg2_again))
 
 
+def test_qwen2_continuation_matches_full_prefill():
+    """qwen2 family: RoPE positions are segment-relative, so a suffix
+    continued on a cached prefix (logical positions P..P+S-1) computes
+    the same function as one full prefill — logits, KV rows, and a decode
+    step all match."""
+    from timeviper_tpu.config import tiny_qwen2_config
+    from timeviper_tpu.models.qwen2 import (
+        init_qwen2_params,
+        qwen2_decode_step,
+        qwen2_forward,
+    )
+    from timeviper_tpu.models.prefix_cache import qwen2_forward_continue
+
+    cfg = tiny_qwen2_config()
+    params = init_qwen2_params(jax.random.PRNGKey(0), cfg,
+                               dtype=jnp.float32)
+    P, S_real, S_bucket, M = 48, 11, 16, 96
+    emb = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, P + S_real, cfg.hidden_size), jnp.float32)
+
+    full = qwen2_forward(params, cfg, inputs_embeds=emb,
+                         fill_cache=True, cache_max_len=M)
+    pre = qwen2_forward(params, cfg, inputs_embeds=emb[:, :P],
+                        fill_cache=True, cache_max_len=M)
+    suffix = jnp.pad(emb[:, P:],
+                     ((0, 0), (0, S_bucket - S_real), (0, 0)),
+                     constant_values=1.5)  # non-zero pads: must be inert
+    cont_logits, cont_cache = qwen2_forward_continue(
+        params, cfg, suffix, pre["cache"], jnp.asarray(S_real, jnp.int32))
+
+    _close(cont_logits, full["logits"][:, -1], msg="qwen2 last logits")
+    assert int(cont_cache["length"]) == P + S_real
+    L = P + S_real
+    for i, (lf, lc) in enumerate(zip(full["cache"]["layers"],
+                                     cont_cache["layers"])):
+        _close(lc["k"][:, :L], lf["k"][:, :L], msg=f"k rows layer {i}")
+        _close(lc["v"][:, :L], lf["v"][:, :L], msg=f"v rows layer {i}")
+
+    tok = jnp.asarray([[7]], jnp.int32)
+    lg_full, _ = qwen2_decode_step(params, cfg, tok, full["cache"])
+    lg_cont, _ = qwen2_decode_step(params, cfg, tok, cont_cache)
+    _close(lg_cont, lg_full, msg="qwen2 decode step after continuation")
+
+
+def test_generator_prefix_qwen2_teacher_forced():
+    """Generator-level qwen2 prefix path: prefill_prefix + continuations
+    serve teacher-forced-valid tokens for two questions on one prefix."""
+    from timeviper_tpu.config import tiny_qwen2_config
+    from timeviper_tpu.models.generate import Generator
+    from timeviper_tpu.models.qwen2 import qwen2_forward
+    from timeviper_tpu.models.vlm import VLMArch, init_vlm_params
+
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2",
+                      llm_backbone_id="qwen2.5-7b-instruct"),
+        vision=tiny_vit_config(),
+        llm=tiny_qwen2_config(),
+        llm_family="qwen2",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    gen = Generator(params, arch, terminator_ids=[2], max_new_tokens=4,
+                    cache_dtype=jnp.float32)
+    prefix_ids = [5, 6, 7, 8, 9, 10, 11, 12]
+    state = gen.prefill_prefix(prefix_ids, suffix_budget=64)
+    for suffix_ids in ([13, 14, 15], [16, 17]):
+        out = gen.generate(suffix_ids, prefix=state)
+        toks = [int(t) for t in out.token_ids]
+        assert len(toks) >= 1
+        seq = jnp.asarray([prefix_ids + suffix_ids + toks[:-1]], jnp.int32)
+        logits = np.asarray(qwen2_forward(
+            params["llm_backbone"], arch.llm, input_ids=seq)["logits"][0])
+        start = len(prefix_ids) + len(suffix_ids) - 1
+        for t, tok in enumerate(toks):
+            row = logits[start + t]
+            assert row[tok] >= row.max() - 5e-2, (
+                t, tok, int(row.argmax()), float(row.max() - row[tok]))
+
+
 def test_pdrop_prefix_matches_full_prefill_same_query():
     """prefill_prefix(use_pdrop=True) + continuation == one bucketed pdrop
     prefill of prefix+question with the SAME ranking query (the last

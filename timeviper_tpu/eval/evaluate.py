@@ -186,7 +186,7 @@ def main(argv=None):
                     toks = [t for t in req.output_ids
                             if t not in model.processor.terminator_ids]
                     record(f, it, model.processor.decode(toks).strip())
-        elif args.prefix_cache and model.arch.llm_family == "nano":
+        elif args.prefix_cache:
             from timeviper_tpu.models.generate import (
                 split_prompt_at_last_image,
             )

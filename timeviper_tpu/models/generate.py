@@ -338,13 +338,14 @@ class Generator:
 
         def make():
             def cont(params, input_ids, cache, real_len):
-                from timeviper_tpu.models.prefix_cache import (
-                    nano_forward_continue,
-                )
+                from timeviper_tpu.models import prefix_cache as pc
 
+                fn = (pc.nano_forward_continue
+                      if self.arch.llm_family == "nano"
+                      else pc.qwen2_forward_continue)
                 lp = params["llm_backbone"]
                 embeds = jnp.take(lp["embeddings"], input_ids, axis=0)[None]
-                logits, new_cache = nano_forward_continue(
+                logits, new_cache = fn(
                     lp, self.arch.llm, embeds, cache, real_len,
                     pdrop_params=params.get("merge_modules"),
                 )
@@ -413,8 +414,6 @@ class Generator:
         (question-agnostic compression — the question isn't known yet, a
         deliberate divergence from per-question pdrop); the cached ca_kv
         is re-merged into every continuation + decode step."""
-        assert self.arch.llm_family == "nano", (
-            "prefix caching targets the hybrid backbone (O(1) Mamba state)")
         ids = list(input_ids)
         visual = None
         if pixels is not None:
@@ -449,7 +448,9 @@ class Generator:
             cache_len = bucket + suffix_budget + self.max_new_tokens
         assert cache_len >= bucket + suffix_budget + self.max_new_tokens, (
             "cache_len too small for prefix + suffix_budget + max_new")
-        use_sp = (self._seq_shards > 1 and bucket % self._seq_shards == 0)
+        use_sp = (self._seq_shards > 1
+                  and self.arch.llm_family == "nano"
+                  and bucket % self._seq_shards == 0)
         if use_pdrop:
             assert len(plan.sample_layouts) == 1, (
                 "pdrop prefix caching is single-sample")
@@ -507,7 +508,7 @@ class Generator:
 
         if prefix is not None:
             assert pixels is None, "video already lives in the prefix cache"
-            chunk = self.arch.llm.chunk_size
+            chunk = getattr(self.arch.llm, "chunk_size", None) or 16
             sb = max(chunk, -(-len(ids) // chunk) * chunk)
             assert sb <= prefix.suffix_budget, (
                 f"suffix {len(ids)} exceeds the prefix's suffix_budget "

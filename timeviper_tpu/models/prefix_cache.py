@@ -32,6 +32,12 @@ Because the nano backbone has no RoPE (SURVEY.md §5.7: NemotronHAttention
 is position-embedding-free), a continuation from a cached prefix computes
 exactly the same function as one fused prefill — tested token-identical in
 tests/test_prefix_cache.py.
+
+`qwen2_forward_continue` is the attention-only-family analog: suffix
+tokens rotate at logical positions continuing the prefix (RoPE positions
+are segment-relative, so a continuation at a different physical offset is
+still the same function), K/V rows append at [length, length+S), and the
+same online-softmax suffix attention serves the long cached prefix.
 """
 
 from __future__ import annotations
@@ -226,6 +232,93 @@ def _attention_continue(
                            kv_valid_mask=kv_valid_mask)
     out = _apply_linear(p["o_proj"], out.reshape(B, S, Hq * hd))
     return out, {"k": k, "v": v}
+
+
+def qwen2_forward_continue(
+    params: Dict[str, Any],
+    cfg,  # Qwen2Config
+    inputs_embeds: jax.Array,  # (B, S, D), trailing pads beyond real_len
+    cache: Dict[str, Any],
+    real_len: jax.Array,       # int32: real (unpadded) suffix length
+    pdrop_params=None,
+):
+    """qwen2-family continuation on a filled cache (attention-only + RoPE).
+
+    Suffix token i rotates at LOGICAL position (length - valid_from) + i —
+    the same convention as qwen2_decode_step (the prefill is left-padded,
+    so logical position 0 sits at physical slot valid_from). Trailing pad
+    rows get garbage K at slots >= length + real_len, which every real
+    query excludes causally and later decode steps overwrite in order.
+    Returns (last_logits, new_cache) exactly like nano_forward_continue.
+    """
+    from timeviper_tpu.models.qwen2 import (
+        _apply_linear as _q_linear,
+        _mlp_forward,
+        compute_logits as q_logits,
+    )
+    from timeviper_tpu.ops.rope import apply_rope, rope_cos_sin
+
+    B, S, _ = inputs_embeds.shape
+    length = cache["length"]
+    valid_from = cache.get("valid_from", jnp.zeros((), jnp.int32))
+    pos = (length - valid_from) + jnp.arange(S, dtype=jnp.int32)[None]
+    pos = jnp.broadcast_to(pos, (B, S))
+    cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+
+    ca_by_layer = {}
+    ca_kvs = cache.get("ca_kv")
+    if ca_kvs is not None and pdrop_params is not None:
+        for si, st in enumerate(cfg.pdrop_stages):
+            if (si < len(ca_kvs) and ca_kvs[si]
+                    and si < len(pdrop_params)
+                    and pdrop_params[si] is not None):
+                ca_by_layer[st.layer] = (ca_kvs[si], pdrop_params[si])
+
+    Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+    hidden = inputs_embeds
+    new_layers = []
+    for idx in range(cfg.num_hidden_layers):
+        lp = params["layers"][idx]
+        if idx in ca_by_layer:
+            from timeviper_tpu.models.pdrop import merge_dropped_cached
+
+            kv, mp = ca_by_layer[idx]
+            hidden = merge_dropped_cached(hidden, kv, mp, cfg)
+        res = hidden
+        n = rms_norm(hidden, lp["input_layernorm"]["weight"],
+                     cfg.rms_norm_eps)
+        ap = lp["self_attn"]
+        q = _q_linear(ap["q_proj"], n).reshape(B, S, Hq, hd)
+        k_new = _q_linear(ap["k_proj"], n).reshape(B, S, Hkv, hd)
+        v_new = _q_linear(ap["v_proj"], n).reshape(B, S, Hkv, hd)
+        q = apply_rope(q, cos, sin)
+        k_new = apply_rope(k_new, cos, sin)
+        cl = cache["layers"][idx]
+        zero = jnp.zeros((), length.dtype)
+        k = jax.lax.dynamic_update_slice(
+            cl["k"], k_new.astype(cl["k"].dtype), (zero, length, zero, zero))
+        v = jax.lax.dynamic_update_slice(
+            cl["v"], v_new.astype(cl["v"].dtype), (zero, length, zero, zero))
+        a = attention_suffix(q, k, v, length, valid_from)
+        hidden = res + _q_linear(ap["o_proj"], a.reshape(B, S, Hq * hd))
+        res = hidden
+        n = rms_norm(hidden, lp["post_attention_layernorm"]["weight"],
+                     cfg.rms_norm_eps)
+        hidden = res + _mlp_forward(lp["mlp"], n)
+        new_layers.append({"k": k, "v": v})
+
+    hidden = rms_norm(hidden, params["norm_f"]["weight"], cfg.rms_norm_eps)
+    last = jax.lax.dynamic_slice_in_dim(hidden, real_len - 1, 1, axis=1)
+    logits = q_logits(params, last[:, 0])
+    new_cache: Dict[str, Any] = {
+        "layers": new_layers,
+        "length": length + real_len,
+        "valid_from": valid_from,
+    }
+    if ca_kvs is not None:
+        new_cache["ca_kv"] = ca_kvs
+    return logits, new_cache
 
 
 def nano_forward_continue(

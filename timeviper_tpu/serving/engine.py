@@ -144,7 +144,7 @@ class ServingEngine:
                 f" != engine max_len {self.max_len} — build the prefix via"
                 " engine.prefill_prefix")
         ids = list(req.input_ids)
-        chunk = self.arch.llm.chunk_size
+        chunk = getattr(self.arch.llm, "chunk_size", None) or 16
         sb = max(chunk, -(-len(ids) // chunk) * chunk)
         if sb > st.suffix_budget:
             raise ValueError(
