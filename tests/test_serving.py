@@ -102,6 +102,55 @@ def test_engine_with_seq_mesh_matches_teacher_forcing():
     _check_teacher_forced(params, arch, prompts, out)
 
 
+def test_batched_prefill_mixed_buckets_and_pixels():
+    """Batched same-bucket prefill: 7 requests across two buckets plus a
+    pixels request (serial path) through 4 slots — power-of-two group
+    splitting, row-indexed slot inserts, and the serial fallback must all
+    serve teacher-forced-valid tokens; batch_prefill=False must give the
+    same output lengths."""
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=tiny_vit_config(),
+        llm=tiny_nano_config(),
+        llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    prompts = ([[5 + i, 6, 7, 8] for i in range(3)]          # bucket A
+               + [[9 + i] * 40 for i in range(3)])           # bucket B
+    import numpy as _np
+
+    pixels = _np.random.default_rng(0).random((2, 28, 28, 3)).astype(
+        _np.float32)
+
+    def make_reqs():
+        reqs = [Request(request_id=i, input_ids=p, max_new_tokens=4)
+                for i, p in enumerate(prompts)]
+        reqs.append(Request(request_id=50, input_ids=[5, 500, 500, 9],
+                            pixels=pixels, image_token_id=500,
+                            max_new_tokens=4))
+        return reqs
+
+    eng = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=4, max_len=256,
+        max_new_tokens=4, cache_dtype=jnp.float32, steps_per_sync=2,
+    )
+    assert eng.batch_prefill
+    out = eng.run(make_reqs())
+    assert all(r.done and not r.error for r in out)
+    assert all(len(r.output_ids) == 4 for r in out)
+    _check_teacher_forced(params, arch, prompts, out[:6])
+
+    eng2 = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=4, max_len=256,
+        max_new_tokens=4, cache_dtype=jnp.float32, steps_per_sync=2,
+        batch_prefill=False,
+    )
+    out2 = eng2.run(make_reqs())
+    assert [len(r.output_ids) for r in out2] == \
+        [len(r.output_ids) for r in out]
+    _check_teacher_forced(params, arch, prompts, out2[:6])
+
+
 def test_terminator_stops_early():
     arch = VLMArch(
         vlm=VLMConfig(arch_specifier="tome_mlp-2"),

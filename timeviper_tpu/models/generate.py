@@ -414,6 +414,11 @@ class Generator:
         (question-agnostic compression — the question isn't known yet, a
         deliberate divergence from per-question pdrop); the cached ca_kv
         is re-merged into every continuation + decode step."""
+        # a suffix bucket is at least one Mamba chunk (the continuation
+        # pads the question to a chunk multiple) — a budget below that
+        # could never admit any suffix, so round it up
+        chunk = getattr(self.arch.llm, "chunk_size", None) or 16
+        suffix_budget = max(suffix_budget, chunk)
         ids = list(input_ids)
         visual = None
         if pixels is not None:
@@ -511,7 +516,8 @@ class Generator:
             chunk = getattr(self.arch.llm, "chunk_size", None) or 16
             sb = max(chunk, -(-len(ids) // chunk) * chunk)
             assert sb <= prefix.suffix_budget, (
-                f"suffix {len(ids)} exceeds the prefix's suffix_budget "
+                f"suffix of {len(ids)} tokens needs a {sb}-token bucket "
+                f"(chunk multiple) > the prefix's suffix_budget "
                 f"{prefix.suffix_budget}")
             ids_arr = np.full((sb,), self.pad_token_id, np.int32)
             ids_arr[: len(ids)] = ids  # trailing pads are exactly inert

@@ -83,6 +83,7 @@ class ServingEngine:
         cache_dtype=jnp.bfloat16,
         steps_per_sync: int = 4,
         mesh=None,
+        batch_prefill: bool = True,
     ) -> None:
         self.params = params
         self.arch = arch
@@ -91,6 +92,9 @@ class ServingEngine:
         self.max_new_tokens = max_new_tokens
         self.sampling = sampling
         self.terminators = tuple(int(t) for t in terminator_ids)
+        # batching bypasses the sequence-sharded prefill — keep the mesh
+        # path (TP/SP serving) on the per-request program
+        self.batch_prefill = batch_prefill and mesh is None
         # single-row prefill machinery shared with the offline generator;
         # with a mesh, prefill runs sequence-sharded (the vLLM-TP analog)
         # and vision encode shards over frames — decode then continues on
@@ -148,7 +152,8 @@ class ServingEngine:
         sb = max(chunk, -(-len(ids) // chunk) * chunk)
         if sb > st.suffix_budget:
             raise ValueError(
-                f"request {req.request_id}: suffix {len(ids)} exceeds the"
+                f"request {req.request_id}: suffix of {len(ids)} tokens"
+                f" needs a {sb}-token bucket (chunk multiple) > the"
                 f" prefix's suffix_budget {st.suffix_budget}")
         total = st.bucket + len(ids)
         if total + req.max_new_tokens > self.max_len:
@@ -181,37 +186,10 @@ class ServingEngine:
         if req.pixels is not None:
             visual = self._gen.encode_frames(req.pixels)
         # reuse the generator's bucketed prefill: returns (logits, cache)
-        from timeviper_tpu.data.fusion import plan_fusion
-
-        ids = list(req.input_ids)
-        plan = plan_fusion(ids, req.image_token_id, self.arch.tokens_per_frame)
-        from timeviper_tpu.models.generate import pick_bucket
-
-        bucket = pick_bucket(plan.fused_len)
-        if bucket + req.max_new_tokens > self.max_len:
-            # decode writes KV at slots [bucket, bucket+max_new); without
-            # headroom dynamic_update_slice clamps and silently overwrites
-            # the last prompt token's KV (like vLLM, reject the request)
-            raise ValueError(
-                f"request {req.request_id}: bucket {bucket} + "
-                f"max_new_tokens {req.max_new_tokens} exceeds engine "
-                f"max_len {self.max_len}"
-            )
-        pad = bucket - plan.fused_len
-        gather_idx = np.concatenate(
-            [np.zeros((pad,), np.int32), plan.gather_idx])
-        seq_idx = np.concatenate(
-            [np.full((pad,), -1, np.int32),
-             np.zeros((plan.fused_len,), np.int32)])
+        bucket, pad, ids_arr, gather_idx, seq_idx = self._prefill_plan(req)
         if visual is None:
             visual = jnp.zeros(
                 (0, self.arch.llm.hidden_size), jnp.bfloat16)
-        ids_arr = np.asarray(ids, np.int32)
-        ids_arr = np.where(ids_arr == req.image_token_id, 0, ids_arr)
-        from timeviper_tpu.models.generate import pad_text_to_bucket
-
-        ids_arr, gather_idx = pad_text_to_bucket(ids_arr, gather_idx,
-                                                 bucket, 0)
         use_sp = (self._gen._seq_shards > 1
                   and self.arch.llm_family == "nano"
                   and bucket % self._gen._seq_shards == 0)
@@ -234,6 +212,108 @@ class ServingEngine:
         return {"req": req, "slot": slot, "cache1": cache1,
                 "first_tok": first_tok, "bucket": bucket, "pad": pad}
 
+    def _prefill_plan(self, req: Request):
+        """Host-side bucket geometry for one request (shared by the serial
+        and batched prefill paths). Returns (bucket, pad, ids_arr,
+        gather_idx, seq_idx) or raises ValueError on capacity."""
+        from timeviper_tpu.data.fusion import plan_fusion
+        from timeviper_tpu.models.generate import (
+            pad_text_to_bucket,
+            pick_bucket,
+        )
+
+        ids = list(req.input_ids)
+        plan = plan_fusion(ids, req.image_token_id,
+                           self.arch.tokens_per_frame)
+        bucket = pick_bucket(plan.fused_len)
+        if bucket + req.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"request {req.request_id}: bucket {bucket} + "
+                f"max_new_tokens {req.max_new_tokens} exceeds engine "
+                f"max_len {self.max_len}"
+            )
+        pad = bucket - plan.fused_len
+        gather_idx = np.concatenate(
+            [np.zeros((pad,), np.int32), plan.gather_idx])
+        seq_idx = np.concatenate(
+            [np.full((pad,), -1, np.int32),
+             np.zeros((plan.fused_len,), np.int32)])
+        ids_arr = np.asarray(ids, np.int32)
+        ids_arr = np.where(ids_arr == req.image_token_id, 0, ids_arr)
+        ids_arr, gather_idx = pad_text_to_bucket(ids_arr, gather_idx,
+                                                 bucket, 0)
+        return bucket, pad, ids_arr, gather_idx, seq_idx
+
+    def _get_prefill_batched(self, bucket: int, B: int):
+        """B same-bucket text-only prompts in ONE compiled program (vmap
+        over the row prefill). Short prompts underfill the MXU row dim —
+        batching them recovers it; this is the analog of vLLM batching
+        prompt processing across waiting requests."""
+        from timeviper_tpu.data.fusion import FusionPlan
+        from timeviper_tpu.models.generate import cached_jit
+        from timeviper_tpu.models.vlm import vlm_forward
+
+        key = ("serve_prefill_batch", repr(self.arch), bucket,
+               self.max_len, B)
+        cache_len = self.max_len
+        arch = self.arch
+
+        def make():
+            def one(params, ids1, gather1, seq1, vf1):
+                plan = FusionPlan(
+                    fused_len=bucket, text_len=ids1.shape[0],
+                    num_visual=0, gather_idx=gather1, is_visual=None,
+                    seq_idx=seq1, position_ids=None, sample_layouts=(),
+                )
+                out = vlm_forward(
+                    params, arch, input_ids=ids1, plan=plan,
+                    visual_embeddings=jnp.zeros(
+                        (0, arch.llm.hidden_size), jnp.bfloat16),
+                    fill_cache=True, cache_max_len=cache_len,
+                    valid_from=vf1,
+                )
+                return out["logits"][:, -1], out["cache"]["layers"]
+
+            def batched(params, ids, gather, seqi, vf):
+                return jax.vmap(one, in_axes=(None, 0, 0, 0, 0))(
+                    params, ids, gather, seqi, vf)
+
+            return batched
+
+        return cached_jit(key, make)
+
+    def _dispatch_prefill_batch(self, group):
+        """Dispatch one batched prefill for [(req, slot), ...] of the same
+        bucket. Returns one pending record per request; the vmapped state
+        rows are scattered into slots by _insert_pending (row-indexed)."""
+        reqs_slots, rows = [], []
+        for req, slot in group:
+            bucket, pad, ids_arr, gather_idx, seq_idx = \
+                self._prefill_plan(req)
+            rows.append((pad, ids_arr, gather_idx, seq_idx))
+            reqs_slots.append((req, slot, bucket, pad))
+        B = len(rows)
+        bucket = reqs_slots[0][2]
+        prefill = self._get_prefill_batched(bucket, B)
+        logits, layers = prefill(
+            self.params,
+            jnp.asarray(np.stack([r[1] for r in rows])),
+            jnp.asarray(np.stack([r[2] for r in rows])),
+            jnp.asarray(np.stack([r[3] for r in rows])),
+            jnp.asarray(np.asarray([r[0] for r in rows], np.int32)),
+        )
+        pendings = []
+        for row, (req, slot, bucket, pad) in enumerate(reqs_slots):
+            first_tok = sample_token(
+                logits[row], jax.random.PRNGKey(req.request_id),
+                self.sampling)
+            pendings.append({
+                "req": req, "slot": slot, "cache1": {"layers": layers},
+                "row": row, "first_tok": first_tok,
+                "bucket": bucket, "pad": pad,
+            })
+        return pendings
+
     def _get_insert(self):
         from timeviper_tpu.models.generate import cached_jit
 
@@ -252,6 +332,33 @@ class ServingEngine:
 
         return cached_jit(key, make)
 
+    def _get_insert_row(self):
+        """Row-indexed insert for vmapped batched-prefill states: slice
+        row `row` out of every (B, 1, ...) leaf and scatter it into slot
+        `slot` — one jitted dispatch, no eager per-leaf slicing."""
+        from timeviper_tpu.models.generate import cached_jit
+
+        key = ("serve_insert_row", repr(self.arch), self.max_len)
+
+        def make():
+            def ins(batched_layers, vmapped_layers, row, slot):
+                def one(b, s):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        b, jax.lax.dynamic_index_in_dim(
+                            s, row, axis=0, keepdims=False).astype(b.dtype),
+                        slot, axis=0)
+
+                return [
+                    jax.tree_util.tree_map(lambda b, s: one(b, s), bl, vl)
+                    for bl, vl in zip(batched_layers, vmapped_layers)
+                ]
+
+            import jax as _jax
+
+            return _jax.jit(ins, donate_argnums=(0,))
+
+        return cached_jit(key, make)
+
     def _insert_pending(self, pending) -> None:
         """Insert a dispatched prefill's state into the batched cache
         (ONE jitted device scatter, async) and activate the slot
@@ -259,10 +366,17 @@ class ServingEngine:
         device sync needed."""
         slot = pending["slot"]
         cache1 = pending["cache1"]
-        ins = self._get_insert()
+        if "row" in pending:
+            ins = self._get_insert_row()
+            layers = ins(self.cache["layers"], cache1["layers"],
+                         jnp.asarray(pending["row"], jnp.int32),
+                         jnp.asarray(slot, jnp.int32))
+        else:
+            ins = self._get_insert()
+            layers = ins(self.cache["layers"], cache1["layers"],
+                         jnp.asarray(slot, jnp.int32))
         self.cache = {
-            "layers": ins(self.cache["layers"], cache1["layers"],
-                          jnp.asarray(slot, jnp.int32)),
+            "layers": layers,
             "length": self.cache["length"],
             "valid_from": self.cache["valid_from"],
         }
@@ -391,12 +505,39 @@ class ServingEngine:
             self.submit(r)
         key = jax.random.PRNGKey(rng_seed)
         while self.queue or any(r is not None for r in self.slot_req):
-            # 1. dispatch prefills into free slots (async)
+            # 1. dispatch prefills into free slots (async). Text-only
+            # requests landing in the same bucket run as ONE batched
+            # prefill program (vLLM batches waiting prompts the same way;
+            # short prompts underfill the MXU row dim when run one-by-one).
             pendings = []
             free = self._free_slots()
+            taken = []
             while free and self.queue:
-                slot = free.pop(0)
-                req = self.queue.pop(0)
+                taken.append((self.queue.pop(0), free.pop(0)))
+            groups: Dict[int, list] = {}
+            singles = []
+            for req, slot in taken:
+                if (self.batch_prefill and req.prefix is None
+                        and req.pixels is None):
+                    try:
+                        bucket = self._prefill_plan(req)[0]
+                    except ValueError as e:
+                        req.done = True
+                        req.error = str(e)
+                        continue
+                    groups.setdefault(bucket, []).append((req, slot))
+                else:
+                    singles.append((req, slot))
+            for bucket, grp in groups.items():
+                # split into power-of-two batches so the executable set
+                # stays small (keyed on (bucket, B)); remainders of 1 take
+                # the serial path
+                while len(grp) > 1:
+                    b = 1 << (len(grp).bit_length() - 1)
+                    pendings.extend(self._dispatch_prefill_batch(grp[:b]))
+                    grp = grp[b:]
+                singles.extend(grp)
+            for req, slot in singles:
                 try:
                     if req.prefix is not None:
                         pendings.append(self._dispatch_continue(req, slot))
