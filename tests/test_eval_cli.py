@@ -189,18 +189,18 @@ def test_eval_video_lru_cache(tmp_path, monkeypatch):
     ds._VIDEO_CACHE.clear()
 
 
-def test_eval_cli_prefix_cache(tmp_path, monkeypatch):
+def test_eval_cli_prefix_cache(tmp_path, monkeypatch, capsys):
     """--prefix_cache: questions on the same video reuse one cached video
-    prefill (models/prefix_cache.py). Two of three items share a video, so
-    the run must report one prefix-cache hit and still produce valid
-    records for all items."""
+    prefill (models/prefix_cache.py). Two of three items share a video
+    NON-adjacently (the loop groups by video), so the run must report one
+    prefix-cache hit and still produce valid records for all items."""
     import timeviper_tpu.data.video as video_mod
     import timeviper_tpu.eval.evaluate as ev
 
     _make_checkpoint(tmp_path)
     records = [dict(r) for r in FAKE_RECORDS]
-    records[1]["video"] = records[0]["video"]  # same video, second question
-    records[1]["question"] = "is the sky red ."
+    records[2]["video"] = records[0]["video"]  # same video, interleaved
+    records[2]["question"] = "is the sky red ."
     monkeypatch.setattr(ev, "load_benchmark",
                         lambda name, root, split: records)
     monkeypatch.setattr(video_mod, "load_video", _fake_load_video)
@@ -214,6 +214,7 @@ def test_eval_cli_prefix_cache(tmp_path, monkeypatch):
         "--min_frames", "4", "--max_frames", "4",
         "--prefix_cache", "--suffix_budget", "64",
     ])
+    assert "prefix-cache hits: 1/3" in capsys.readouterr().out
     with open(os.path.join(out_dir, "0_of_1.jsonl")) as f:
         recs = [json.loads(l) for l in f]
     assert len(recs) == 3

@@ -194,7 +194,12 @@ def main(argv=None):
             img_id = model.processor.image_token_id
             pkey, pstate = None, None
             hits = 0
-            for i in range(len(ds)):
+            # group questions by video so every repeat is a cache hit even
+            # when the benchmark interleaves videos (records carry qids —
+            # output order never matters for scoring or resume)
+            order = sorted(range(len(ds)),
+                           key=lambda i: (ds.video_key(i), i))
+            for i in order:
                 item = ds[i]
                 ids = list(item["input_ids"])
                 if img_id not in ids:
