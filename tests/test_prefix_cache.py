@@ -141,6 +141,34 @@ def test_trailing_pads_exactly_inert():
     assert int(ca["length"]) == int(cb["length"]) == P + S
 
 
+def test_pads_inert_under_dt_clamp():
+    """time_step_limit[0] > 0: the kernel clamps activated dt up to dt_lo,
+    so masking the RAW dt would leave pads mutating the state (decay +
+    dt_lo·B·x). The continuation activates dt host-side and zeroes pads
+    AFTER the clamp — padded continuation must still match a full
+    prefill exactly."""
+    cfg = _cfg(time_step_limit=(0.01, 10.0))
+    params = init_nano_params(jax.random.PRNGKey(8), cfg, dtype=jnp.float32)
+    P, S_real, S_bucket = 32, 5, 16
+    emb = jax.random.normal(jax.random.PRNGKey(9),
+                            (1, P + S_real, cfg.hidden_size), jnp.float32)
+    full = nano_forward(params, cfg, inputs_embeds=emb,
+                        fill_cache=True, cache_max_len=80)
+    pre = nano_forward(params, cfg, inputs_embeds=emb[:, :P],
+                       fill_cache=True, cache_max_len=80)
+    suffix = jnp.pad(emb[:, P:],
+                     ((0, 0), (0, S_bucket - S_real), (0, 0)),
+                     constant_values=2.5)
+    lg, cc = nano_forward_continue(
+        params, cfg, suffix, pre["cache"], jnp.asarray(S_real, jnp.int32))
+    _close(lg, full["logits"][:, -1], msg="dt-clamped last logits")
+    for i, bt in enumerate(cfg.layers_block_type):
+        if bt == "mamba":
+            _close(cc["layers"][i]["ssm_state"],
+                   full["cache"]["layers"][i]["ssm_state"],
+                   msg=f"dt-clamped ssm_state layer {i}")
+
+
 def test_one_prefix_many_questions():
     """The input cache pytree is immutable: a second continuation from the
     same PrefixState is unaffected by the first."""

@@ -215,8 +215,17 @@ def main(argv=None):
                     pkey = key
                 else:
                     hits += 1
-                record(f, item, model.generate(
-                    suf_ids, answer_prompt=answer_prompt, prefix=pstate))
+                try:
+                    text = model.generate(
+                        suf_ids, answer_prompt=answer_prompt, prefix=pstate)
+                except ValueError:
+                    # e.g. a question longer than suffix_budget: pay one
+                    # full prefill for this item instead of aborting a
+                    # multi-hour eval run
+                    text = model.generate(
+                        ids, pixels=item["pixels"],
+                        answer_prompt=answer_prompt)
+                record(f, item, text)
             print(f"prefix-cache hits: {hits}/{len(ds)}")
         else:
             for i in range(len(ds)):

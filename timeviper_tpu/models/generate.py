@@ -394,6 +394,26 @@ class Generator:
 
     # -- public ----------------------------------------------------------
 
+    def _plan_prompt(self, ids, image_token_id):
+        """Host-side bucket geometry shared by generate / prefill_prefix /
+        the serving engine: left-pad the fused layout to a bucket, mask
+        <image> placeholders to the pad token, and pad the text ids.
+        Returns (plan, bucket, pad, ids_arr, gather_idx, seq_idx)."""
+        img = image_token_id if image_token_id is not None else -1
+        plan = plan_fusion(ids, img, self.arch.tokens_per_frame)
+        bucket = pick_bucket(plan.fused_len)
+        pad = bucket - plan.fused_len
+        gather_idx = np.concatenate(
+            [np.zeros((pad,), np.int32), plan.gather_idx])
+        seq = plan.seq_idx if plan.seq_idx is not None else np.zeros(
+            (plan.fused_len,), np.int32)
+        seq_idx = np.concatenate([np.full((pad,), -1, np.int32), seq])
+        ids_arr = np.asarray(ids, np.int32)
+        ids_arr = np.where(ids_arr == img, self.pad_token_id, ids_arr)
+        ids_arr, gather_idx = pad_text_to_bucket(
+            ids_arr, gather_idx, bucket, self.pad_token_id)
+        return plan, bucket, pad, ids_arr, gather_idx, seq_idx
+
     def prefill_prefix(
         self,
         input_ids: Sequence[int],
@@ -424,27 +444,10 @@ class Generator:
         if pixels is not None:
             visual = self.encode_frames(pixels)
 
-        plan = plan_fusion(
-            ids,
-            image_token_id if image_token_id is not None else -1,
-            self.arch.tokens_per_frame,
-        )
+        plan, bucket, pad, ids_arr, gather_idx, seq_idx = \
+            self._plan_prompt(ids, image_token_id)
         nv = visual.shape[0] if visual is not None else 0
         assert plan.num_visual == nv, (plan.num_visual, nv)
-
-        bucket = pick_bucket(plan.fused_len)
-        pad = bucket - plan.fused_len
-        gather_idx = np.concatenate(
-            [np.zeros((pad,), np.int32), plan.gather_idx])
-        seq = plan.seq_idx if plan.seq_idx is not None else np.zeros(
-            (plan.fused_len,), np.int32)
-        seq_idx = np.concatenate([np.full((pad,), -1, np.int32), seq])
-        ids_arr = np.asarray(ids, np.int32)
-        ids_arr = np.where(
-            ids_arr == (image_token_id if image_token_id is not None else -1),
-            self.pad_token_id, ids_arr)
-        ids_arr, gather_idx = pad_text_to_bucket(
-            ids_arr, gather_idx, bucket, self.pad_token_id)
         if visual is None:
             visual = jnp.zeros((0, self.arch.llm.hidden_size),
                                self.cache_dtype)
@@ -512,13 +515,23 @@ class Generator:
             ids = ids + list(answer_prompt_ids)
 
         if prefix is not None:
-            assert pixels is None, "video already lives in the prefix cache"
+            # ValueErrors (not asserts): callers like the eval loop catch
+            # these per item and fall back to a full prefill — and asserts
+            # vanish under -O, which would let dynamic_update_slice clamp
+            # and silently corrupt the cache
+            if pixels is not None:
+                raise ValueError("video already lives in the prefix cache")
+            if not ids:
+                raise ValueError(
+                    "empty suffix on a cached prefix (real_len=0 would "
+                    "decode from a pad row and corrupt the conv window)")
             chunk = getattr(self.arch.llm, "chunk_size", None) or 16
             sb = max(chunk, -(-len(ids) // chunk) * chunk)
-            assert sb <= prefix.suffix_budget, (
-                f"suffix of {len(ids)} tokens needs a {sb}-token bucket "
-                f"(chunk multiple) > the prefix's suffix_budget "
-                f"{prefix.suffix_budget}")
+            if sb > prefix.suffix_budget:
+                raise ValueError(
+                    f"suffix of {len(ids)} tokens needs a {sb}-token "
+                    f"bucket (chunk multiple) > the prefix's "
+                    f"suffix_budget {prefix.suffix_budget}")
             ids_arr = np.full((sb,), self.pad_token_id, np.int32)
             ids_arr[: len(ids)] = ids  # trailing pads are exactly inert
             cont = self._get_continue(sb, prefix.cache_len)
@@ -536,27 +549,10 @@ class Generator:
         if pixels is not None:
             visual = self.encode_frames(pixels)
 
-        plan = plan_fusion(
-            ids,
-            image_token_id if image_token_id is not None else -1,
-            self.arch.tokens_per_frame,
-        )
+        plan, bucket, pad, ids_arr, gather_idx, seq_idx = \
+            self._plan_prompt(ids, image_token_id)
         nv = visual.shape[0] if visual is not None else 0
         assert plan.num_visual == nv, (plan.num_visual, nv)
-
-        bucket = pick_bucket(plan.fused_len)
-        pad = bucket - plan.fused_len
-        # left-pad: pad slots index a pad text token; segment id -1
-        gather_idx = np.concatenate(
-            [np.zeros((pad,), np.int32), plan.gather_idx])
-        seq = plan.seq_idx if plan.seq_idx is not None else np.zeros(
-            (plan.fused_len,), np.int32)
-        seq_idx = np.concatenate([np.full((pad,), -1, np.int32), seq])
-        ids_arr = np.asarray(ids, np.int32)
-        ids_arr = np.where(ids_arr == (image_token_id if image_token_id is not None else -1),
-                           self.pad_token_id, ids_arr)
-        ids_arr, gather_idx = pad_text_to_bucket(
-            ids_arr, gather_idx, bucket, self.pad_token_id)
 
         cache_len = bucket + self.max_new_tokens
         if visual is None:

@@ -20,13 +20,16 @@ cache holding `length` already-processed tokens:
 * Attention layers append S KV rows at [length, length+S) and the suffix
   queries attend over the whole prefix with a kv-chunked online-softmax
   (flash-style accumulation in jnp — S is tiny, the prefix is long).
-* Suffix padding is TRAILING and *exactly inert*: pad positions get a raw
-  dt of -1e9, so softplus(dt + dt_bias) == 0.0 in f32, exp(dt·A) == 1 and
+* Suffix padding is TRAILING and *exactly inert*: dt is activated
+  (softplus + bias + time_step_limit clamp) on the host side of the
+  kernel and set to exactly 0.0 at pad positions, so exp(dt·A) == 1 and
   the dt·B·x contribution is 0 — the SSM state is frozen through pads and
-  the final state equals the state at the real suffix end. The conv state
-  is sliced at the real length; pad KV rows are masked and then
-  overwritten by subsequent decode steps. One executable therefore serves
-  every suffix length in a bucket.
+  the final state equals the state at the real suffix end (this holds for
+  ANY time_step_limit, unlike masking the raw dt, which the kernel clamp
+  would raise back to dt_lo). The conv state is sliced at the real
+  length; pad KV rows are masked and then overwritten by subsequent
+  decode steps. One executable therefore serves every suffix length in a
+  bucket.
 
 Because the nano backbone has no RoPE (SURVEY.md §5.7: NemotronHAttention
 is position-embedding-free), a continuation from a cached prefix computes
@@ -57,10 +60,6 @@ from timeviper_tpu.ops.conv import causal_conv1d
 from timeviper_tpu.ops.norms import gated_rms_norm, rms_norm
 from timeviper_tpu.ops.ssd_pallas import ssd_auto_continue
 
-# pre-softplus dt for inert pad positions: softplus(-1e9 + dt_bias) == 0.0
-# exactly in float32 for any realistic dt_bias, so exp(dt*A) == 1 and the
-# state contribution dt*B*x == 0 — pads leave the SSM state untouched.
-_DT_NEG = -1.0e9
 
 
 def _mamba_continue(
@@ -83,8 +82,17 @@ def _mamba_continue(
     Br = _apply_linear(ip["B"], x)
     Cr = _apply_linear(ip["C"], x)
     dt = _apply_linear(ip["dt"], x)
-    # inert pads: state frozen, contribution zero (module docstring)
-    dt = jnp.where(real_mask[None, :, None], dt, _DT_NEG)
+    # inert pads: apply the FULL dt activation (softplus + bias + clamp)
+    # here and zero it at pad positions, passing the kernel pre-activated
+    # dt. Zeroing the RAW dt instead would break under a config with
+    # time_step_limit[0] > 0 — the kernel's clamp would raise pad dt back
+    # to dt_lo and the state would decay through pads.
+    dt = jax.nn.softplus(
+        dt.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    lo, hi = cfg.time_step_limit
+    if lo > 0.0 or hi != float("inf"):
+        dt = jnp.clip(dt, lo, hi)
+    dt = jnp.where(real_mask[None, :, None], dt, 0.0)
 
     cs = cache_layer["conv_state"]
     new_conv = {}
@@ -115,8 +123,9 @@ def _mamba_continue(
         initial_state=cache_layer["ssm_state"],
         chunk_size=cfg.chunk_size,
         D=p["D"],
-        dt_bias=p["dt_bias"],
-        dt_limit=cfg.time_step_limit,
+        dt_bias=None,               # dt arrives pre-activated (above)
+        dt_softplus=False,
+        dt_limit=(0.0, float("inf")),
         return_final_state=True,
     )
     y = y.reshape(B, S, d_inner)
@@ -160,9 +169,8 @@ def attention_suffix(
     base = jnp.arange(kv_chunk, dtype=jnp.int32)
     mask_extra = None
     if kv_valid_mask is not None:
-        mask_extra = jnp.moveaxis(
-            jnp.pad(kv_valid_mask, (0, Mpad - M)).reshape(nchunks, kv_chunk),
-            0, 0)
+        mask_extra = jnp.pad(
+            kv_valid_mask, (0, Mpad - M)).reshape(nchunks, kv_chunk)
 
     def body(carry, inp):
         m, l, acc = carry

@@ -148,6 +148,15 @@ class ServingEngine:
                 f" != engine max_len {self.max_len} — build the prefix via"
                 " engine.prefill_prefix")
         ids = list(req.input_ids)
+        if req.pixels is not None or req.image_token_id in ids:
+            raise ValueError(
+                f"request {req.request_id}: prefix requests are text-only"
+                " (the video lives in the prefix cache) — dropping frames"
+                " silently would return plausible-but-wrong output")
+        if not ids:
+            raise ValueError(
+                f"request {req.request_id}: empty suffix on a cached"
+                " prefix")
         chunk = getattr(self.arch.llm, "chunk_size", None) or 16
         sb = max(chunk, -(-len(ids) // chunk) * chunk)
         if sb > st.suffix_budget:
@@ -213,35 +222,20 @@ class ServingEngine:
                 "first_tok": first_tok, "bucket": bucket, "pad": pad}
 
     def _prefill_plan(self, req: Request):
-        """Host-side bucket geometry for one request (shared by the serial
-        and batched prefill paths). Returns (bucket, pad, ids_arr,
-        gather_idx, seq_idx) or raises ValueError on capacity."""
-        from timeviper_tpu.data.fusion import plan_fusion
-        from timeviper_tpu.models.generate import (
-            pad_text_to_bucket,
-            pick_bucket,
-        )
-
-        ids = list(req.input_ids)
-        plan = plan_fusion(ids, req.image_token_id,
-                           self.arch.tokens_per_frame)
-        bucket = pick_bucket(plan.fused_len)
+        """Host-side bucket geometry for one request (the Generator's
+        shared planner + this engine's capacity check). Returns (bucket,
+        pad, ids_arr, gather_idx, seq_idx) or raises ValueError."""
+        _, bucket, pad, ids_arr, gather_idx, seq_idx = \
+            self._gen._plan_prompt(list(req.input_ids), req.image_token_id)
         if bucket + req.max_new_tokens > self.max_len:
+            # decode writes KV at slots [bucket, bucket+max_new); without
+            # headroom dynamic_update_slice clamps and silently overwrites
+            # the last prompt token's KV (like vLLM, reject the request)
             raise ValueError(
                 f"request {req.request_id}: bucket {bucket} + "
                 f"max_new_tokens {req.max_new_tokens} exceeds engine "
                 f"max_len {self.max_len}"
             )
-        pad = bucket - plan.fused_len
-        gather_idx = np.concatenate(
-            [np.zeros((pad,), np.int32), plan.gather_idx])
-        seq_idx = np.concatenate(
-            [np.full((pad,), -1, np.int32),
-             np.zeros((plan.fused_len,), np.int32)])
-        ids_arr = np.asarray(ids, np.int32)
-        ids_arr = np.where(ids_arr == req.image_token_id, 0, ids_arr)
-        ids_arr, gather_idx = pad_text_to_bucket(ids_arr, gather_idx,
-                                                 bucket, 0)
         return bucket, pad, ids_arr, gather_idx, seq_idx
 
     def _get_prefill_batched(self, bucket: int, B: int):
@@ -283,13 +277,14 @@ class ServingEngine:
         return cached_jit(key, make)
 
     def _dispatch_prefill_batch(self, group):
-        """Dispatch one batched prefill for [(req, slot), ...] of the same
-        bucket. Returns one pending record per request; the vmapped state
-        rows are scattered into slots by _insert_pending (row-indexed)."""
+        """Dispatch one batched prefill for [(req, slot, plan), ...] of
+        the same bucket (plan = the _prefill_plan tuple computed at
+        grouping time). Returns one pending record per request; the
+        vmapped state rows are scattered into slots by _insert_pending
+        (row-indexed)."""
         reqs_slots, rows = [], []
-        for req, slot in group:
-            bucket, pad, ids_arr, gather_idx, seq_idx = \
-                self._prefill_plan(req)
+        for req, slot, plan in group:
+            bucket, pad, ids_arr, gather_idx, seq_idx = plan
             rows.append((pad, ids_arr, gather_idx, seq_idx))
             reqs_slots.append((req, slot, bucket, pad))
         B = len(rows)
@@ -520,12 +515,12 @@ class ServingEngine:
                 if (self.batch_prefill and req.prefix is None
                         and req.pixels is None):
                     try:
-                        bucket = self._prefill_plan(req)[0]
+                        plan = self._prefill_plan(req)
                     except ValueError as e:
                         req.done = True
                         req.error = str(e)
                         continue
-                    groups.setdefault(bucket, []).append((req, slot))
+                    groups.setdefault(plan[0], []).append((req, slot, plan))
                 else:
                     singles.append((req, slot))
             for bucket, grp in groups.items():
@@ -536,7 +531,7 @@ class ServingEngine:
                     b = 1 << (len(grp).bit_length() - 1)
                     pendings.extend(self._dispatch_prefill_batch(grp[:b]))
                     grp = grp[b:]
-                singles.extend(grp)
+                singles.extend((req, slot) for req, slot, _ in grp)
             for req, slot in singles:
                 try:
                     if req.prefix is not None:
