@@ -261,6 +261,68 @@ def bench_serving_short(results):
     })
 
 
+def bench_chunked_prefill(results):
+    """Decode-stall SLO under a long-prompt arrival: 6 chat streams (64
+    new tokens) + one 16k-token prompt, 8 slots. Reports the max
+    round-to-round gap (the longest any decode stream waited behind
+    prompt processing) with chunked prefill (2048-token chunks) vs the
+    whole-prompt prefill — the vLLM chunked-prefill analog."""
+    import os
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig, VLMConfig, tiny_vit_config
+    from timeviper_tpu.models.vlm import VLMArch, init_vlm_params
+    from timeviper_tpu.serving.engine import Request, ServingEngine
+    from timeviper_tpu.train.quantize import quantize_params_int8
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    n_layers = int(os.environ.get("BENCH_SERVING_LAYERS", "26"))
+    lcfg = NanoConfig(
+        num_hidden_layers=n_layers,
+        hybrid_override_pattern=(full * 2)[:n_layers],
+        vocab_size=2048)
+    arch = VLMArch(vlm=VLMConfig(arch_specifier="tome_mlp-16"),
+                   vision=tiny_vit_config(), llm=lcfg, llm_family="nano")
+    params = jax.jit(
+        lambda k: quantize_params_int8(init_vlm_params(k, arch,
+                                                       dtype=jnp.bfloat16))
+    )(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    long_ids = rng.integers(3, 2000, (16384 - 128,)).tolist()
+    shorts = [rng.integers(3, 2000, (96,)).tolist() for _ in range(6)]
+
+    def reqs():
+        rs = [Request(request_id=i, input_ids=p, max_new_tokens=64)
+              for i, p in enumerate(shorts)]
+        rs.append(Request(request_id=99, input_ids=list(long_ids),
+                          max_new_tokens=16))
+        return rs
+
+    row = {"metric": f"serving_chunked_prefill_{n_layers}L_16k_arrival",
+           "unit": "max_decode_stall_s"}
+    for label, chunk in (("chunked", 2048), ("whole", None)):
+        eng = ServingEngine(params, arch, terminator_ids=[-2], num_slots=8,
+                            max_len=32768, max_new_tokens=64,
+                            prefill_chunk_tokens=chunk)
+        eng.run(reqs())  # warm every executable on the identical schedule
+        t0 = time.perf_counter()
+        done = eng.run(reqs())
+        total = time.perf_counter() - t0
+        gaps = np.diff(np.asarray(eng.round_stamps))
+        assert all(not r.error for r in done)
+        row[f"{label}_max_stall_s"] = round(float(gaps.max()), 3)
+        row[f"{label}_total_s"] = round(total, 2)
+    row["value"] = row["chunked_max_stall_s"]
+    row["vs_whole"] = round(
+        row["whole_max_stall_s"] / max(row["chunked_max_stall_s"], 1e-9), 2)
+    results.append(row)
+
+
 def bench_prefix_cache(results):
     """Multi-question video eval (VideoMME ships 3 questions/video): full
     re-prefill per question vs one prefill_prefix + per-question
@@ -638,8 +700,8 @@ def main():
                     {**r, "commit": commit, "ts": stamp}) + "\n")
         return
     benches = (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
-               bench_serving, bench_serving_short, bench_prefix_cache,
-               bench_train)
+               bench_serving, bench_serving_short, bench_chunked_prefill,
+               bench_prefix_cache, bench_train)
     if args.only:
         benches = tuple(f for f in benches
                         if f.__name__.endswith(args.only))

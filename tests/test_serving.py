@@ -151,6 +151,59 @@ def test_batched_prefill_mixed_buckets_and_pixels():
     _check_teacher_forced(params, arch, prompts, out2[:6])
 
 
+def test_chunked_prefill_long_prompt():
+    """prefill_chunk_tokens: a long prompt advances one chunk per round
+    through the continuation path while short requests keep decoding.
+    The chunked result must be teacher-forced-valid, identical in length
+    to the whole-prefill engine, and short streams must complete."""
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=tiny_vit_config(),
+        llm=tiny_nano_config(),
+        llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    long_prompt = rng.integers(3, 250, (100,)).tolist()  # > 2 chunks of 32
+    shorts = [[5 + i, 6, 7, 8] for i in range(3)]
+
+    eng = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=3, max_len=256,
+        max_new_tokens=4, cache_dtype=jnp.float32, steps_per_sync=2,
+        prefill_chunk_tokens=32,
+    )
+    reqs = [Request(request_id=0, input_ids=long_prompt, max_new_tokens=4)]
+    reqs += [Request(request_id=1 + i, input_ids=p, max_new_tokens=4)
+             for i, p in enumerate(shorts)]
+    out = eng.run(reqs)
+    assert all(r.done and not r.error for r in out)
+    assert all(len(r.output_ids) == 4 for r in out)
+    _check_teacher_forced(params, arch, [long_prompt] + shorts, out)
+
+    # two long prompts: the second waits (requeued) and still completes
+    eng2 = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=2, max_len=256,
+        max_new_tokens=3, cache_dtype=jnp.float32, steps_per_sync=2,
+        prefill_chunk_tokens=32,
+    )
+    longs = [rng.integers(3, 250, (70,)).tolist() for _ in range(2)]
+    out2 = eng2.run([Request(request_id=i, input_ids=p, max_new_tokens=3)
+                     for i, p in enumerate(longs)])
+    assert all(r.done and not r.error and len(r.output_ids) == 3
+               for r in out2)
+    _check_teacher_forced(params, arch, longs, out2)
+
+    # capacity rejection stays per-request
+    eng3 = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=2, max_len=64,
+        max_new_tokens=4, cache_dtype=jnp.float32,
+        prefill_chunk_tokens=32,
+    )
+    bad = eng3.run([Request(request_id=9, input_ids=[5] * 80,
+                            max_new_tokens=4)])
+    assert bad[0].error and "exceeds engine max_len" in bad[0].error
+
+
 def test_terminator_stops_early():
     arch = VLMArch(
         vlm=VLMConfig(arch_specifier="tome_mlp-2"),

@@ -84,6 +84,7 @@ class ServingEngine:
         steps_per_sync: int = 4,
         mesh=None,
         batch_prefill: bool = True,
+        prefill_chunk_tokens: Optional[int] = None,
     ) -> None:
         self.params = params
         self.arch = arch
@@ -95,6 +96,18 @@ class ServingEngine:
         # batching bypasses the sequence-sharded prefill — keep the mesh
         # path (TP/SP serving) on the per-request program
         self.batch_prefill = batch_prefill and mesh is None
+        # chunked prefill (the vLLM chunked-prefill analog): a long prompt
+        # advances one chunk per scheduling round through the continuation
+        # path (models/prefix_cache.py), so active decode streams are
+        # stalled at most one chunk's worth of compute per round instead
+        # of the whole multi-second prefill. One long prompt is in flight
+        # at a time; its slot is reserved until the state is inserted.
+        if prefill_chunk_tokens is not None:
+            chunk = getattr(arch.llm, "chunk_size", None) or 16
+            prefill_chunk_tokens = -(-prefill_chunk_tokens // chunk) * chunk
+        self.prefill_chunk_tokens = prefill_chunk_tokens
+        self.cache_dtype = cache_dtype
+        self._chunked: Optional[Dict[str, Any]] = None
         # single-row prefill machinery shared with the offline generator;
         # with a mesh, prefill runs sequence-sharded (the vLLM-TP analog)
         # and vision encode shards over frames — decode then continues on
@@ -181,7 +194,42 @@ class ServingEngine:
                 "first_tok": first_tok, "bucket": total, "pad": st.pad}
 
     def _free_slots(self) -> List[int]:
-        return [i for i, r in enumerate(self.slot_req) if r is None]
+        held = self._chunked["slot"] if self._chunked else -1
+        return [i for i, r in enumerate(self.slot_req)
+                if r is None and i != held]
+
+    def _start_chunked(self, req: Request, slot: int) -> None:
+        """Begin a chunked prefill: reserve `slot` and an empty single-row
+        cache; _advance_chunked moves it one chunk per round."""
+        self._chunked = {
+            "req": req, "slot": slot, "ids": list(req.input_ids), "pos": 0,
+            "cache": init_cache(self.arch, 1, self.max_len,
+                                self.cache_dtype),
+        }
+
+    def _advance_chunked(self):
+        """Run ONE chunk of the in-flight long prompt (async dispatch).
+        Returns a pending record when the prompt completes, else None."""
+        st = self._chunked
+        C = self.prefill_chunk_tokens
+        ids, pos = st["ids"], st["pos"]
+        n = min(C, len(ids) - pos)
+        ids_arr = np.full((C,), self._gen.pad_token_id, np.int32)
+        ids_arr[:n] = ids[pos: pos + n]  # trailing pads are exactly inert
+        cont = self._gen._get_continue(C, self.max_len)
+        logits, st["cache"] = cont(
+            self.params, jnp.asarray(ids_arr), st["cache"],
+            jnp.asarray(n, jnp.int32))
+        st["pos"] = pos + n
+        if st["pos"] < len(ids):
+            return None
+        req = st["req"]
+        first_tok = sample_token(
+            logits, jax.random.PRNGKey(req.request_id), self.sampling)
+        pending = {"req": req, "slot": st["slot"], "cache1": st["cache"],
+                   "first_tok": first_tok, "bucket": len(ids), "pad": 0}
+        self._chunked = None
+        return pending
 
     def _dispatch_prefill(self, req: Request, slot: int):
         """Dispatch a request's prefill WITHOUT blocking on it.
@@ -496,10 +544,21 @@ class ServingEngine:
         (JAX dispatch is async), prefilled states are scattered into the
         post-burst cache as device ops, and the host syncs once at the end
         of the round — prefill never stalls decode on host round-trips."""
+        import time as _time
+
         for r in requests:
             self.submit(r)
         key = jax.random.PRNGKey(rng_seed)
-        while self.queue or any(r is not None for r in self.slot_req):
+        # wall-clock stamp after each round's sync: consecutive gaps are
+        # the decode-stream stall profile (what chunked prefill bounds)
+        self.round_stamps: List[float] = [_time.perf_counter()]
+        while (self.queue or self._chunked is not None
+               or any(r is not None for r in self.slot_req)):
+            # 0. advance the in-flight chunked long-prompt prefill by ONE
+            # chunk (async) — bounds how long this round's decode burst
+            # waits behind prompt processing
+            pending_chunk = (self._advance_chunked()
+                             if self._chunked is not None else None)
             # 1. dispatch prefills into free slots (async). Text-only
             # requests landing in the same bucket run as ONE batched
             # prefill program (vLLM batches waiting prompts the same way;
@@ -511,7 +570,25 @@ class ServingEngine:
                 taken.append((self.queue.pop(0), free.pop(0)))
             groups: Dict[int, list] = {}
             singles = []
+            requeue = []
             for req, slot in taken:
+                if (self.prefill_chunk_tokens
+                        and req.prefix is None and req.pixels is None
+                        and len(req.input_ids) > self.prefill_chunk_tokens):
+                    if (len(req.input_ids) + req.max_new_tokens
+                            > self.max_len):
+                        req.done = True
+                        req.error = (
+                            f"request {req.request_id}: prompt "
+                            f"{len(req.input_ids)} + max_new_tokens "
+                            f"{req.max_new_tokens} exceeds engine "
+                            f"max_len {self.max_len}")
+                    elif self._chunked is None:
+                        self._start_chunked(req, slot)
+                    else:
+                        # one long prompt in flight at a time — wait
+                        requeue.append(req)
+                    continue
                 if (self.batch_prefill and req.prefix is None
                         and req.pixels is None):
                     try:
@@ -532,6 +609,8 @@ class ServingEngine:
                     pendings.extend(self._dispatch_prefill_batch(grp[:b]))
                     grp = grp[b:]
                 singles.extend((req, slot) for req, slot, _ in grp)
+            if requeue:
+                self.queue = requeue + self.queue
             for req, slot in singles:
                 try:
                     if req.prefix is not None:
@@ -547,6 +626,8 @@ class ServingEngine:
             key, sub = jax.random.split(key)
             dispatched = self._dispatch_decode(sub)
             # 3. scatter prefilled states into the post-burst cache
+            if pending_chunk is not None:
+                pendings.append(pending_chunk)
             for p in pendings:
                 self._insert_pending(p)
             # 4. single host sync point for the whole round
@@ -554,4 +635,5 @@ class ServingEngine:
                 self._process_burst(dispatched)
             for p in pendings:
                 self._finish_pending(p)
+            self.round_stamps.append(_time.perf_counter())
         return list(requests)
