@@ -591,6 +591,25 @@ def check_onchip(results):
     _cmp("ring_block_vs_oracle", jax.jit(ring_fn)(rq, rk, rv),
          ref_ring(rq, rk, rv), 3e-2)
 
+    # --- masked ring block: valid_kv (left-pad + pdrop holes) now runs
+    # the SAME flash kernel via segment ids (was dense-fallback-only;
+    # invalid rows' outputs are garbage by contract and excluded) ---
+    valid = jnp.ones((2048,), bool).at[:256].set(False).at[700:900].set(
+        False)
+    ring_fn_m = shard_map(
+        lambda q_, k_, v_: attention_seq_ring(
+            q_, k_, v_, axis_name="seq", n_shards=1, valid_g=valid),
+        mesh=ring_mesh,
+        in_specs=(Pspec(None, "seq"),) * 3,
+        out_specs=Pspec(None, "seq"),
+        check_rep=False,
+    )
+    mask_m = causal & valid[None, :]
+    ref_m = jax.jit(lambda q_, k_, v_: attention(q_, k_, v_, mask_m))
+    got_m = jax.jit(ring_fn_m)(rq, rk, rv)[:, valid]
+    _cmp("ring_block_masked_vs_oracle", got_m,
+         ref_m(rq, rk, rv)[:, valid], 3e-2)
+
     # --- whole-frame ViT attention kernel (SigLIP shape) vs oracle ---
     from timeviper_tpu.ops.vit_attention import vit_attention
 

@@ -46,9 +46,19 @@ from timeviper_tpu.ops.ssd_pallas import ssd_auto_continue
 
 
 def _mamba_layer_chunked(lp, cfg: NanoConfig, hidden, chunk_tokens: int):
-    """Stream one Mamba layer over sequence chunks. hidden: (B, L, D)."""
+    """Stream one Mamba layer over sequence chunks. hidden: (B, L, D).
+
+    Any L: a non-multiple pads the TAIL and slices it back off — the scan
+    is causal and the carried state dies with the scan, so trailing pads
+    only produce discarded output rows (no divisor hunting, which could
+    pick a pathologically small chunk for near-prime post-pdrop lengths)."""
     B, L, D = hidden.shape
-    assert L % chunk_tokens == 0, (L, chunk_tokens)
+    pad = (-L) % chunk_tokens
+    if pad:
+        out = _mamba_layer_chunked(
+            lp, cfg, jnp.pad(hidden, ((0, 0), (0, pad), (0, 0))),
+            chunk_tokens)
+        return out[:, :L]
     nc = L // chunk_tokens
     K = cfg.mamba_d_conv
     d_inner = cfg.mamba_intermediate_size
@@ -111,6 +121,12 @@ def _mamba_layer_chunked(lp, cfg: NanoConfig, hidden, chunk_tokens: int):
 
 def _mlp_layer_chunked(lp, cfg: NanoConfig, hidden, chunk_tokens: int):
     B, L, D = hidden.shape
+    pad = (-L) % chunk_tokens
+    if pad:  # pointwise layer: pad rows are independent, slice them off
+        out = _mlp_layer_chunked(
+            lp, cfg, jnp.pad(hidden, ((0, 0), (0, pad), (0, 0))),
+            chunk_tokens)
+        return out[:, :L]
     nc = L // chunk_tokens
     xs = jnp.moveaxis(hidden.reshape(B, nc, chunk_tokens, D), 1, 0)
 
@@ -162,15 +178,10 @@ def nano_forward_longctx(
             )
         lp = params["layers"][idx]
         L = hidden.shape[1]
-        # after a pdrop stage L may stop dividing chunk_tokens; fall back
-        # to the largest divisor of L that fits — NOT to an unchunked run
-        # (the whole point is bounding the wide intermediates)
+        # after a pdrop stage L may stop dividing chunk_tokens; the
+        # chunked helpers pad the tail internally (slicing it back off),
+        # so the chunk size never shrinks
         ct = chunk_tokens
-        if L > chunk_tokens and L % chunk_tokens != 0:
-            for cand in range(chunk_tokens, 0, -1):
-                if L % cand == 0:
-                    ct = cand
-                    break
         chunked = L > ct
         if block_type == "mamba":
             if chunked:

@@ -322,9 +322,16 @@ def _ssd_pallas_fwd(
         # padding seq with the last id (pads contribute x=0·dt to states but
         # nonzero decay... so instead mark pads as same segment: their x is 0
         # so dBx = 0; decay factor would shrink the final state though.
-        # Use dt = -inf on pads so softplus(dt) = 0 => exp(0)=1 decay.
+        # Pads must end up with EFFECTIVE dt == 0 (exp(0)=1 decay): with
+        # softplus that's raw -inf; with pre-activated dt (dt_softplus=False
+        # — e.g. the masked-pdrop sharded path and the prefix-cache
+        # continuation) -inf would make dA = -inf*A = +inf and poison the
+        # state, so pad with literal 0 instead. The caller must pair
+        # dt_softplus=False with dt_limit[0] == 0, else the in-kernel clamp
+        # raises pad dt to dt_lo.
         padmask = jnp.arange(Lp) >= L
-        dt = jnp.where(padmask[None, :, None], -jnp.inf, dt)
+        pad_dt = -jnp.inf if dt_softplus else 0.0
+        dt = jnp.where(padmask[None, :, None], pad_dt, dt)
         seq_idx = jnp.pad(seq_idx, ((0, 0), (0, pad)), mode="edge")
 
     # blocked layouts
@@ -730,7 +737,9 @@ def _ssd_pallas_bwd(
         C = jnp.pad(C, ((0, 0), (0, pad), (0, 0), (0, 0)))
         gy = jnp.pad(gy, ((0, 0), (0, pad), (0, 0), (0, 0)))
         padmask = jnp.arange(Lp) >= L
-        dt = jnp.where(padmask[None, :, None], -jnp.inf, dt)
+        # same pad rule as the forward: effective dt must be 0 at pads
+        dt = jnp.where(padmask[None, :, None],
+                       -jnp.inf if dt_softplus else 0.0, dt)
         seq_idx = jnp.pad(seq_idx, ((0, 0), (0, pad)), mode="edge")
 
     xb = jnp.transpose(x, (0, 2, 1, 3)).reshape(Bsz, G, R, Lp, P)

@@ -27,7 +27,7 @@ a single segment); the packed-training path uses the unsharded forward.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -100,8 +100,13 @@ def ssd_seq_sharded(
             return_final_state=True,
         )
 
-    # total decay over the local span, per head: exp(sum dA)
-    dA_sum = jnp.einsum("blh,h->bh", dtf, A.astype(jnp.float32))
+    # total decay over the local span, per head: exp(sum dA). Plain f32
+    # multiply+sum, NOT an einsum — default matmul precision would run
+    # the contraction in bf16 and drift the composed cross-device state
+    # (the f32 state-math rule, ops/ssd.py)
+    dA_sum = jnp.sum(
+        dtf.astype(jnp.float32) * A.astype(jnp.float32)[None, None, :],
+        axis=1)
     local_decay = jnp.exp(dA_sum)  # (B, H)
 
     # 2. gather every device's (decay, state); prefix-compose to my inbound
@@ -142,13 +147,23 @@ def ssd_seq_sharded(
 # ---------------------------------------------------------------------------
 
 
-def _block_attn_lse(q, k, v, *, causal, valid_kv=None, scale=None):
+def _block_attn_lse(q, k, v, *, causal, valid_kv=None, valid_q=None,
+                    scale=None):
     """One KV-block attention returning (normalized out, sumexp, rowmax).
 
     The streaming-softmax primitive for ring attention: per-block partial
     results merge exactly via (l, m) — flash attention's invariant. On
     TPU the Pallas flash kernel computes this with O(L) memory
     (`save_residuals`); elsewhere a dense jnp path (the oracle).
+
+    `valid_kv` masks invalid KV rows (pads / pdrop-dropped). On the flash
+    path it becomes segment ids (invalid rows segment 1); `valid_q` marks
+    the query rows' own validity so an invalid q row pairs with invalid
+    kv rows instead of ending up fully masked (a fully-masked row makes
+    the kernel emit NaN, which 0·NaN would propagate into the SSD state
+    downstream even at dead positions — the dense path's denom guard
+    avoids this at the source). Invalid rows' outputs are garbage by
+    contract; callers never consume them.
     Returns o: (B, Lq, Hq, D); l, m: (B, Hq, Lq) float32.
     """
     import math as _math
@@ -159,12 +174,23 @@ def _block_attn_lse(q, k, v, *, causal, valid_kv=None, scale=None):
         scale = 1.0 / _math.sqrt(D)
 
     if (jax.default_backend() in ("tpu", "axon")
-            and Lq == Lk and Lq >= 512 and Lq % 256 == 0 and D % 128 == 0
-            and valid_kv is None):
+            and Lq == Lk and Lq >= 512 and Lq % 256 == 0 and D % 128 == 0):
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
                 _flash_attention_impl,
             )
+
+            segs = None
+            if valid_kv is not None:
+                kv_seg = jnp.broadcast_to(
+                    jnp.where(valid_kv, 0, 1).astype(jnp.int32)[None],
+                    (B, Lk))
+                vq = valid_q if valid_q is not None else jnp.ones(
+                    (Lq,), bool)
+                q_seg = jnp.broadcast_to(
+                    jnp.where(vq, 0, 1).astype(jnp.int32)[None], (B, Lq))
+                segs = SegmentIds(q=q_seg, kv=kv_seg)
 
             rep = Hq // Hkv
             kk, vv = (jnp.repeat(k, rep, axis=2),
@@ -174,7 +200,7 @@ def _block_attn_lse(q, k, v, *, causal, valid_kv=None, scale=None):
                 jnp.transpose(q, (0, 2, 1, 3)),
                 jnp.transpose(kk, (0, 2, 1, 3)),
                 jnp.transpose(vv, (0, 2, 1, 3)),
-                None, None, True, causal, scale,
+                None, segs, True, causal, scale,
                 1, blk, blk, blk, False,
             )
             return (jnp.transpose(o, (0, 2, 1, 3)).astype(q.dtype),
@@ -239,7 +265,11 @@ def attention_seq_ring(
         denom = jnp.where(l_new == 0, 1.0, l_new)
         wa = jnp.moveaxis(a / denom, 1, 2)[..., None]  # (B, Lq, Hq, 1)
         wb = jnp.moveaxis(b / denom, 1, 2)[..., None]
-        return (o * wa + o_s.astype(jnp.float32) * wb, l_new, m_new)
+        # select, don't multiply-by-zero: a fully-masked row's o_s is NaN
+        # on the flash path, and 0·NaN = NaN would ride the residual into
+        # the SSD's 0·x products
+        contrib = jnp.where(wb > 0, o_s.astype(jnp.float32) * wb, 0.0)
+        return (jnp.where(wa > 0, o * wa, 0.0) + contrib, l_new, m_new)
 
     def block_valid(j):
         if valid_g is None:
@@ -248,7 +278,8 @@ def attention_seq_ring(
 
     # step 0: my own (diagonal, causal) block
     o0, l0, m0 = _block_attn_lse(q, k, v, causal=True,
-                                 valid_kv=block_valid(my))
+                                 valid_kv=block_valid(my),
+                                 valid_q=block_valid(my))
     acc = (jnp.zeros_like(q, dtype=jnp.float32),
            jnp.zeros((B, Hq, Lloc), jnp.float32),
            jnp.full((B, Hq, Lloc), -jnp.inf, jnp.float32))
@@ -264,7 +295,8 @@ def attention_seq_ring(
             vc = jax.lax.ppermute(vc, axis_name, perm)
             j = (my - s) % n_shards
             o_s, l_s, m_s = _block_attn_lse(q, kc, vc, causal=False,
-                                            valid_kv=block_valid(j))
+                                            valid_kv=block_valid(j),
+                                            valid_q=block_valid(my))
             acc = merge(acc, o_s, l_s, m_s, s <= my)
             return (acc, kc, vc), None
 
@@ -312,22 +344,30 @@ def attention_seq_sharded(
             mask = mask & kv_valid[None, :]
         return mask
 
-    if Lloc <= q_chunk or Lloc % q_chunk != 0:
+    if Lloc <= q_chunk:
         q_pos = my * Lloc + jnp.arange(Lloc)
         out = attention(q, kg, vg, chunk_mask(q_pos)[None])
         return (out, (kg, vg)) if return_kv else out
 
-    nchunk = Lloc // q_chunk
-    qc = q.reshape(B, nchunk, q_chunk, *q.shape[2:])
-    qc = jnp.moveaxis(qc, 1, 0)  # (nchunk, B, q_chunk, Hq, hd)
+    # ceil-chunk: queries are independent, so a non-divisible Lloc pads
+    # the LAST chunk (pad rows clamp to the final real position and are
+    # sliced off) — falling back to unchunked here would materialize the
+    # full (Lloc, L) score matrix, hundreds of GB at the 160k-token scale
+    nchunk = -(-Lloc // q_chunk)
+    Lpad = nchunk * q_chunk
+    qp = (jnp.pad(q, ((0, 0), (0, Lpad - Lloc), (0, 0), (0, 0)))
+          if Lpad != Lloc else q)
+    qc = jnp.moveaxis(qp.reshape(B, nchunk, q_chunk, *q.shape[2:]), 1, 0)
 
     def one_chunk(args):
         qi, ci = args
-        q_pos = my * Lloc + ci * q_chunk + jnp.arange(q_chunk)
+        q_pos = jnp.minimum(my * Lloc + ci * q_chunk + jnp.arange(q_chunk),
+                            my * Lloc + Lloc - 1)
         return attention(qi, kg, vg, chunk_mask(q_pos)[None])
 
     out = jax.lax.map(one_chunk, (qc, jnp.arange(nchunk)))
-    out = jnp.moveaxis(out, 0, 1).reshape(B, Lloc, *out.shape[3:])
+    out = jnp.moveaxis(out, 0, 1).reshape(B, Lpad, *out.shape[3:])
+    out = out[:, :Lloc]
     return (out, (kg, vg)) if return_kv else out
 
 
@@ -348,10 +388,11 @@ def _select_row(h: jax.Array, global_idx, axis_name: str, my, Lloc: int):
 
 
 def _proj(p, x):
-    y = x @ p["kernel"].astype(x.dtype)
-    if p.get("bias") is not None:
-        y = y + p["bias"].astype(y.dtype)
-    return y
+    # the shared linear apply handles plain, int8-quantized (kernel_q),
+    # and LoRA leaves — sharded pdrop must run on int8 serving params
+    from timeviper_tpu.models.nano import _apply_linear
+
+    return _apply_linear(p, x)
 
 
 def _compact_conv(x, conv_params, cfg, axis_name, local_valid):
@@ -539,6 +580,13 @@ def nano_prefill_seq_parallel(
     L_global = inputs_embeds.shape[1]
     if fill_cache:
         assert cache_max_len >= L_global, (cache_max_len, L_global)
+        # the cache out_spec is P() (replicated): with data > 1 each data
+        # shard would hold a DIFFERENT local-batch cache and shard_map
+        # (check_rep=False) would silently keep one shard's values,
+        # dropping the other batch rows' states
+        assert int(mesh.shape.get("data", 1)) == 1, (
+            "fill_cache requires a data=1 mesh (sharded-prefill serving "
+            "is per-request); shard batches at the engine level instead")
     n_seq_shards = int(mesh.shape["seq"])
     valid_from = jnp.asarray(valid_from, jnp.int32)
     # shard_map bodies may not close over traced values — every traced
