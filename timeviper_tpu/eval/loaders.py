@@ -108,7 +108,9 @@ def load_charades(root="./dataset/charades", split="test") -> List[dict]:
 def load_tvgbench(root="./dataset/trainval", split="default") -> List[dict]:
     """TVGBench json with 'start-end' answers (data_loader.py:241-304)."""
     out = []
-    for i, itm in enumerate(_read_json(f"{root}/tvgbench.json")):
+    # qid counts EMITTED records only — items skipped for a missing video
+    # do not advance it (data_loader.py:263-301 increments after the skip)
+    for itm in _read_json(f"{root}/tvgbench.json"):
         if not os.path.exists(itm["path"]):
             continue
         s, e = itm["answer"].split("-")
@@ -117,7 +119,7 @@ def load_tvgbench(root="./dataset/trainval", split="default") -> List[dict]:
         out.append({
             "video": itm["path"], "duration": itm["duration"],
             "timestamp": [float(s), float(e)], "sentence": itm["question"],
-            "qid": f"{src}_{i}",
+            "qid": f"{src}_{len(out)}",
             "video_start": itm["start"], "video_end": itm["end"],
         })
     return out
