@@ -474,6 +474,64 @@ def bench_train(results):
         del params, step
 
 
+def bench_qlora(results):
+    """FULL-WIDTH 9B QLoRA train step on ONE 16 GB chip: int8 frozen base
+    (~9 GB) + bf16 rank-16 LoRA factors, factor-only backward
+    (train/step.py make_lora_train_step). The reference needs multi-GPU
+    ZeRO-3 for any 9B fine-tune; bf16 full fine-tune exceeds this chip
+    (see bench_train), QLoRA fits."""
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.models.nano import init_nano_params, nano_forward
+    from timeviper_tpu.train.lora import add_lora, graft_lora, split_lora_state
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    L = 4096
+    cfg = NanoConfig(
+        num_hidden_layers=52, hybrid_override_pattern=full[:52],
+        hidden_size=4096, intermediate_size=21504,
+        mamba_num_heads=128, vocab_size=2048,
+    )
+
+    def build(k):
+        from timeviper_tpu.train.quantize import quantize_params_int8
+
+        p = init_nano_params(k, cfg, dtype=jnp.bfloat16)
+        return quantize_params_int8(p)
+
+    qparams = jax.jit(build)(jax.random.PRNGKey(0))
+    lp = {"llm_backbone": qparams}
+    lp = jax.jit(lambda p: add_lora(p, rank=16))(lp)
+    ids = jnp.zeros((1, L), jnp.int32)
+
+    def loss_fn(lora_flat):
+        p = graft_lora(lp, lora_flat)["llm_backbone"]
+        out = nano_forward(p, cfg, input_ids=ids, remat=True)
+        logp = jax.nn.log_softmax(out["logits"][:, :-1], axis=-1)
+        return -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1).mean()
+
+    lora0 = {k: v for k, v in split_lora_state(lp)[0].items()
+             if not k.endswith("lora_scale")}
+    n_factor = sum(v.size for v in lora0.values())
+    step = jax.jit(jax.grad(loss_fn))
+    try:
+        dt = _timeit(lambda: _sync(next(iter(step(lora0).values()))))
+        results.append({
+            "metric": f"qlora_fwdbwd_52L_h4096_int8base_r16_{L}tok",
+            "value": round(L / dt, 1), "unit": "tokens/sec",
+            "factor_params_m": round(n_factor / 1e6, 1),
+            "note": "full 9B width+depth, int8 frozen base on one 16GB "
+                    "chip; bf16 full fine-tune OOMs this chip",
+        })
+    except Exception as e:  # noqa: BLE001
+        results.append({
+            "metric": "qlora_fwdbwd_52L_h4096_int8base_r16",
+            "error": f"{type(e).__name__}: {str(e)[:120]}"})
+    del lp, qparams, step
+
+
 def check_onchip(results):
     """Correctness gate for the COMPILED kernels on the attached chip.
 
@@ -720,7 +778,7 @@ def main():
         return
     benches = (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
                bench_serving, bench_serving_short, bench_chunked_prefill,
-               bench_prefix_cache, bench_train)
+               bench_prefix_cache, bench_train, bench_qlora)
     if args.only:
         benches = tuple(f for f in benches
                         if f.__name__.endswith(args.only))

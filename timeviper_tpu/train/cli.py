@@ -41,6 +41,14 @@ def get_args(argv=None):
                    help="e.g. uni_14_0.8-attn_21_0.6")
     p.add_argument("--merge_module", default="no_merge",
                    choices=["no_merge", "CrossAttention"])
+    # LoRA/QLoRA (reference train.py:364-383 lora_enable/lora_r/lora_alpha;
+    # the int8 base has no reference equivalent — QLoRA fits the full 9B
+    # fine-tune on one 16 GB chip)
+    p.add_argument("--lora_enable", action="store_true")
+    p.add_argument("--lora_r", type=int, default=8)
+    p.add_argument("--lora_alpha", type=float, default=16.0)
+    p.add_argument("--lora_quantize_base", action="store_true",
+                   help="QLoRA: quantize the frozen LLM base to int8")
     p.add_argument("--trainable_modules", default=None,
                    help="comma substrings, e.g. 'projector,merge'")
     # data (reference DataArguments, train.py:79-131)
@@ -156,6 +164,22 @@ def main(argv=None):
                 jnp.asarray, convert_projector(sd))
         overwatch.info(f"projector warm-started from {pc}")
 
+    if args.lora_enable:
+        from timeviper_tpu.train.lora import add_lora
+
+        if args.lora_quantize_base:
+            from timeviper_tpu.train.quantize import quantize_params_int8
+
+            params["llm_backbone"] = quantize_params_int8(
+                params["llm_backbone"])
+            overwatch.info("QLoRA: LLM base quantized to int8")
+        params = add_lora(
+            params, rank=args.lora_r, alpha=args.lora_alpha,
+            key=jax.random.PRNGKey(args.seed + 1),
+        )
+        overwatch.info(
+            f"LoRA enabled: r={args.lora_r} alpha={args.lora_alpha}")
+
     datasets = load_data_from_config(
         args.data_config, processor, template_name=args.conv_template
     )
@@ -184,6 +208,7 @@ def main(argv=None):
         fsdp_params=not args.no_fsdp, remat=not args.no_remat,
         use_pdrop=args.use_pdrop,
         trainable_modules=args.trainable_modules,
+        lora=args.lora_enable,
         resume=not args.no_resume,
     )
     trainer = Trainer(arch, params, optim_cfg, trainer_cfg)
@@ -211,6 +236,18 @@ def main(argv=None):
         "merge_module": args.merge_module,
     }
     save_params(final, trainer.state.params, meta=final_meta)
+    if args.lora_enable:
+        # the reference's lora vs non_lora_trainables.bin artifact split
+        # (train.py:244-250, train_utils.py:126-158)
+        import numpy as np
+
+        from timeviper_tpu.train.lora import split_lora_state
+
+        lora_sd, _ = split_lora_state(trainer.state.params)
+        np.savez(os.path.join(args.run_dir, "final", "lora_state.npz"),
+                 **{k: np.asarray(v) for k, v in lora_sd.items()})
+        final_meta["lora"] = {"r": args.lora_r, "alpha": args.lora_alpha,
+                              "quantized_base": args.lora_quantize_base}
     with open(os.path.join(args.run_dir, "final", "config.json"), "w") as f:
         json.dump(final_meta, f, indent=2)
     overwatch.info(f"final artifacts at {os.path.join(args.run_dir, 'final')}")

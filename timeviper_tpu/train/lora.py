@@ -7,6 +7,16 @@ classes: every targeted `{kernel}` leaf gains sibling `lora_a`/`lora_b`
 factors, the forward adds `x @ a @ b * (alpha/r)` when they exist, and
 training freezes everything except the factors via the same
 `trainable_modules` masking used for module freezing (train/optim.py).
+
+QLoRA: the factors plant next to int8-quantized leaves (`{kernel_q,
+kernel_scale}` from train/quantize.py) too — the model applies
+(`models/nano.py:_apply_linear`, `models/qwen2.py`) already add the LoRA
+delta on top of either layout, and the weight-only dequant path is exact
+and differentiable, so the FULL 9B backbone fine-tunes on one 16 GB chip
+(int8 frozen base ≈ 9 GB + bf16 LoRA factors + remat activations). The
+reference's LoRA (train.py:364-383) needs multi-GPU ZeRO for the same
+model. jax.grad returns float0 for the int8 leaves; pair with
+`lora_trainable_mask` + optax.masked as usual.
 """
 
 from __future__ import annotations
@@ -39,11 +49,16 @@ def add_lora(
     targets: Tuple[str, ...] = DEFAULT_TARGETS,
     key: Optional[jax.Array] = None,
     scope: str = "llm_backbone",
+    dtype=None,
 ) -> Any:
     """Return params with lora_a/lora_b planted next to targeted kernels.
 
     a ~ N(0, 1/r) (kaiming-ish), b = 0 — so the wrapped model starts
-    exactly equal to the base model (peft init semantics).
+    exactly equal to the base model (peft init semantics). Works on both
+    full-precision `{kernel}` and int8 `{kernel_q, kernel_scale}` leaves
+    (QLoRA); target patterns are written against the `/kernel` path
+    either way. `dtype` sets the factor dtype (default: the kernel's
+    dtype, or bfloat16 for int8 leaves).
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -55,20 +70,24 @@ def add_lora(
             out = dict(node)
             for k, v in node.items():
                 out[k] = walk(v, f"{prefix}/{k}" if prefix else str(k))
-            # plant factors next to a matched kernel
+            # plant factors next to a matched kernel (kernel_q leaves
+            # match the same `/kernel`-suffixed patterns)
+            kern = node.get("kernel", node.get("kernel_q"))
             kp = f"{prefix}/kernel" if prefix else "kernel"
             if (
-                "kernel" in node
+                kern is not None
                 and (not scope or kp.startswith(scope) or scope in kp)
                 and any(re.fullmatch(t, kp) for t in targets)
-                and getattr(node["kernel"], "ndim", 0) == 2
+                and getattr(kern, "ndim", 0) == 2
             ):
-                d_in, d_out = node["kernel"].shape
+                d_in, d_out = kern.shape
+                fdtype = dtype or (
+                    kern.dtype if "kernel" in node else jnp.bfloat16)
                 k_ = next(keys)
                 out["lora_a"] = (
                     jax.random.normal(k_, (d_in, rank)) / math.sqrt(rank)
-                ).astype(node["kernel"].dtype)
-                out["lora_b"] = jnp.zeros((rank, d_out), node["kernel"].dtype)
+                ).astype(fdtype)
+                out["lora_b"] = jnp.zeros((rank, d_out), fdtype)
                 out["lora_scale"] = jnp.asarray(alpha / rank, jnp.float32)
             return out
         if isinstance(node, list):
@@ -92,8 +111,16 @@ def lora_linear(p: Dict[str, Any], x: jax.Array) -> jax.Array:
     return y
 
 
-def merge_lora(params: Any) -> Any:
-    """Fold lora factors into kernels (deploy-time merge)."""
+def merge_lora(params: Any, requantize: bool = False) -> Any:
+    """Fold lora factors into kernels (deploy-time merge).
+
+    Quantized (QLoRA) leaves dequantize exactly and merge in f32; by
+    default the merged leaf becomes a full-precision `{kernel}` (exact).
+    `requantize=True` re-quantizes the merged kernel back to int8
+    per-output-channel — keeps the int8 serving memory/path at the cost
+    of one extra quantization rounding; a calibrated `act_inv` is kept
+    (it scales the unchanged *input* activations).
+    """
 
     def walk(node):
         if isinstance(node, dict):
@@ -103,9 +130,26 @@ def merge_lora(params: Any) -> Any:
                     node["lora_a"].astype(jnp.float32)
                     @ node["lora_b"].astype(jnp.float32)
                 ) * node["lora_scale"]
-                out["kernel"] = (
-                    node["kernel"].astype(jnp.float32) + delta
-                ).astype(node["kernel"].dtype)
+                if "kernel" in node:
+                    out["kernel"] = (
+                        node["kernel"].astype(jnp.float32) + delta
+                    ).astype(node["kernel"].dtype)
+                else:  # int8 leaf: exact dequant + delta in f32
+                    merged = (node["kernel_q"].astype(jnp.float32)
+                              * node["kernel_scale"].astype(jnp.float32)
+                              + delta)
+                    if requantize:
+                        from timeviper_tpu.train.quantize import (
+                            _quantize_kernel,
+                        )
+
+                        q, scale = _quantize_kernel(merged)
+                        out["kernel_q"], out["kernel_scale"] = q, scale
+                    else:
+                        out.pop("kernel_q", None)
+                        out.pop("kernel_scale", None)
+                        out.pop("act_inv", None)
+                        out["kernel"] = merged.astype(node["lora_a"].dtype)
             return out
         if isinstance(node, list):
             return [walk(v) for v in node]
@@ -123,6 +167,26 @@ def split_lora_state(params: Any) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         p = _path_str(path)
         (lora if "/lora_" in p or p.endswith("lora_scale") else non_lora)[p] = leaf
     return lora, non_lora
+
+
+def graft_lora(params: Any, lora_flat: Dict[str, Any]) -> Any:
+    """Replace leaves of `params` named by `lora_flat` ({path: leaf}, the
+    split_lora_state layout). The partition/graft pair lets a train step
+    differentiate w.r.t. the LoRA factors alone — mandatory for QLoRA
+    (int8 base leaves are not differentiable) and keeps optimizer state
+    factor-sized either way."""
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            return {
+                k: walk(v, f"{prefix}/{k}" if prefix else str(k))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [walk(v, f"{prefix}/{i}") for i, v in enumerate(node)]
+        return lora_flat.get(prefix, node)
+
+    return walk(params, "")
 
 
 def lora_trainable_mask(params: Any) -> Any:

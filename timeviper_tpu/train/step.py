@@ -104,6 +104,108 @@ def make_train_step(
 
 
 # ---------------------------------------------------------------------------
+# LoRA / QLoRA steps: differentiate w.r.t. the factor leaves ONLY.
+# The reference's peft path (train.py:364-383) freezes by requires_grad;
+# here the step partitions the pytree (split_lora_state/graft_lora) so the
+# backward never asks for int8-base gradients (QLoRA: jax.grad rejects int
+# inputs) and the optimizer state is factor-sized, not model-sized — the
+# full 52L 9B int8 base + bf16 factors fine-tunes on one 16 GB chip.
+# ---------------------------------------------------------------------------
+
+
+def _factors_only(lora_flat):
+    """Drop the constant lora_scale (= alpha/r) from the trainable set."""
+    return {k: v for k, v in lora_flat.items()
+            if not k.endswith("lora_scale")}
+
+
+def make_lora_train_step(
+    arch: VLMArch,
+    tx,
+    plan: FusionPlan,
+    *,
+    use_pdrop: bool = False,
+    remat: bool = True,
+):
+    """Returns `step(state, batch) -> (state, metrics)` updating only the
+    LoRA factors. `state.params` is the FULL pytree (frozen base + factors);
+    `state.opt_state` must be built over the factor sub-dict
+    (`init_lora_train_state`)."""
+    from timeviper_tpu.train.lora import graft_lora, split_lora_state
+
+    loss_fn = _make_loss_fn(arch, plan, use_pdrop=use_pdrop, remat=remat)
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        lora0, _ = split_lora_state(state.params)
+        lora0 = _factors_only(lora0)
+        assert lora0, "make_lora_train_step needs add_lora'd params"
+
+        def lf(lora_flat):
+            return loss_fn(graft_lora(state.params, lora_flat), batch)
+
+        (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(lora0)
+        updates, opt_state = tx.update(grads, state.opt_state, lora0)
+        new_lora = optax.apply_updates(lora0, updates)
+        params = graft_lora(state.params, new_lora)
+        metrics = _grad_metrics(loss, aux, grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step
+
+
+def make_lora_grad_step(
+    arch: VLMArch,
+    plan: FusionPlan,
+    *,
+    use_pdrop: bool = False,
+    remat: bool = True,
+):
+    """Factor-only `grad(params, batch) -> (metrics, grads)` (grad-accum)."""
+    from timeviper_tpu.train.lora import graft_lora, split_lora_state
+
+    loss_fn = _make_loss_fn(arch, plan, use_pdrop=use_pdrop, remat=remat)
+
+    def grad(params, batch):
+        lora0 = _factors_only(split_lora_state(params)[0])
+
+        def lf(lora_flat):
+            return loss_fn(graft_lora(params, lora_flat), batch)
+
+        (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(lora0)
+        return _grad_metrics(loss, aux, grads), grads
+
+    return grad
+
+
+def make_lora_apply_step(tx):
+    """Factor-only optimizer apply from accumulated factor grads."""
+    from timeviper_tpu.train.lora import graft_lora, split_lora_state
+
+    def apply(state: TrainState, grads, denom: jax.Array):
+        grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
+        lora0 = _factors_only(split_lora_state(state.params)[0])
+        updates, opt_state = tx.update(grads, state.opt_state, lora0)
+        params = graft_lora(
+            state.params, optax.apply_updates(lora0, updates))
+        metrics = {"grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return apply
+
+
+def init_lora_train_state(params, tx) -> TrainState:
+    """TrainState whose opt_state covers only the LoRA factors."""
+    from timeviper_tpu.train.lora import split_lora_state
+
+    lora0 = _factors_only(split_lora_state(params)[0])
+    return TrainState(
+        params=params,
+        opt_state=tx.init(lora0),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gradient accumulation (reference: HF Trainer gradient_accumulation_steps,
 # train.py:55-237). Split the fused step into grad / accumulate / apply so
 # each microbatch may use a DIFFERENT compiled program (different FusionPlan

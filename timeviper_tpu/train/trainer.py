@@ -59,6 +59,10 @@ class TrainerConfig:
     remat: bool = True
     use_pdrop: bool = False
     trainable_modules: Optional[str] = None  # comma substrings; None = all
+    # LoRA/QLoRA mode: params must carry lora_a/lora_b factors (add_lora);
+    # the step differentiates and updates ONLY the factors (step.py
+    # make_lora_train_step) — required when the base is int8-quantized
+    lora: bool = False
     resume: bool = True
     # microbatches per optimizer update (HF gradient_accumulation_steps;
     # reference train.py:55-237). Microbatches may use different fusion-plan
@@ -86,10 +90,24 @@ class Trainer:
         self.param_shardings = params_shardings(
             params, self.mesh, fsdp_params=trainer_cfg.fsdp_params
         )
-        tx = build_optimizer(optim_cfg, params)
-        tx = apply_freeze(tx, params, trainer_cfg.trainable_modules)
-        self.tx = tx
-        self.state = init_train_state(params, tx)
+        if trainer_cfg.lora:
+            # optimizer over the factor sub-dict only (QLoRA-safe)
+            from timeviper_tpu.train.lora import split_lora_state
+            from timeviper_tpu.train.step import (
+                _factors_only,
+                init_lora_train_state,
+            )
+
+            factors = _factors_only(split_lora_state(params)[0])
+            assert factors, "TrainerConfig.lora=True needs add_lora'd params"
+            tx = build_optimizer(optim_cfg, factors)
+            self.tx = tx
+            self.state = init_lora_train_state(params, tx)
+        else:
+            tx = build_optimizer(optim_cfg, params)
+            tx = apply_freeze(tx, params, trainer_cfg.trainable_modules)
+            self.tx = tx
+            self.state = init_train_state(params, tx)
         self._step_fns: Dict[Any, Callable] = {}
         self.batch_sharding = NamedSharding(self.mesh, P("data"))
 
@@ -107,20 +125,36 @@ class Trainer:
     def _get_step(self, plan):
         key = ("fused", self._plan_key(plan))
         if key not in self._step_fns:
-            step = make_train_step(
-                self.arch, self.tx, plan,
-                use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
-            )
+            if self.cfg.lora:
+                from timeviper_tpu.train.step import make_lora_train_step
+
+                step = make_lora_train_step(
+                    self.arch, self.tx, plan,
+                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                )
+            else:
+                step = make_train_step(
+                    self.arch, self.tx, plan,
+                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                )
             self._step_fns[key] = jax.jit(step, donate_argnums=(0,))
         return self._step_fns[key]
 
     def _get_grad(self, plan):
         key = ("grad", self._plan_key(plan))
         if key not in self._step_fns:
-            grad = make_grad_step(
-                self.arch, plan,
-                use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
-            )
+            if self.cfg.lora:
+                from timeviper_tpu.train.step import make_lora_grad_step
+
+                grad = make_lora_grad_step(
+                    self.arch, plan,
+                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                )
+            else:
+                grad = make_grad_step(
+                    self.arch, plan,
+                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                )
             self._step_fns[key] = jax.jit(grad)
         return self._step_fns[key]
 
@@ -134,8 +168,14 @@ class Trainer:
 
     def _get_apply(self):
         if "apply" not in self._step_fns:
+            if self.cfg.lora:
+                from timeviper_tpu.train.step import make_lora_apply_step
+
+                apply = make_lora_apply_step(self.tx)
+            else:
+                apply = make_apply_step(self.tx)
             self._step_fns["apply"] = jax.jit(
-                make_apply_step(self.tx), donate_argnums=(0, 1)
+                apply, donate_argnums=(0, 1)
             )
         return self._step_fns["apply"]
 
