@@ -107,10 +107,13 @@ def test_qlora_grads_flow_only_to_factors_and_merge_matches():
         if "lora_b" in "/".join(str(getattr(k, "key", "")) for k in p)
     ]
     assert lora_b_norms and any(n > 0 for n in lora_b_norms)
-    # int8 leaves produce non-float tangents (float0) — maskable, no grad
+    # int8 leaves produce float0 tangents — maskable, no real grad
+    n_q = 0
     for p, g in flat:
         if "kernel_q" in "/".join(str(getattr(k, "key", "")) for k in p):
-            assert g.dtype != jnp.float32 or g.size == 0 or True
+            assert g.dtype == jax.dtypes.float0
+            n_q += 1
+    assert n_q > 0
 
     # one masked optimizer step updates only the factors
     mask = lora_trainable_mask(lp)

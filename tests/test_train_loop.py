@@ -177,3 +177,86 @@ def test_grad_accumulation_leftover_applies(tmp_path):
     tr = Trainer(arch, params, opt, cfg)
     tr.train(iter(_make_batches(arch, 3)))
     assert int(tr.state.step) == 2
+
+
+def test_lora_trainable_modules_updates_extra_module(tmp_path):
+    """LoRA mode + --trainable_modules projector trains the projector too.
+
+    The reference's LoRA recipe (train.py:384-398) unfreezes listed modules
+    in addition to the peft factors — that is what non_lora_trainables.bin
+    carries (train_utils.py:150-158). A fresh projector must NOT stay
+    frozen under `--lora_enable --trainable_modules projector`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.train.lora import add_lora, split_lora_state
+
+    arch = _make_arch()
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    params = add_lora(params, rank=2, key=jax.random.PRNGKey(1))
+    cfg = TrainerConfig(
+        run_dir=str(tmp_path / "run"), max_steps=2, save_every=100,
+        data_parallel=1, model_parallel=1, resume=False,
+        lora=True, trainable_modules="projector",
+    )
+    trainer = Trainer(arch, params, OptimConfig(
+        learning_rate=1e-2, total_steps=2, schedule="constant"), cfg)
+
+    def get(p):
+        lora_b = [v for k, v in split_lora_state(p)[0].items()
+                  if "lora_b" in k]
+        return {
+            "proj": np.asarray(jax.device_get(
+                p["projector"]["fc1"]["kernel"])),
+            "vis": np.asarray(jax.device_get(
+                p["vision_backbone"]["patch_embed"]["kernel"])),
+            "lora_b": float(sum(
+                np.abs(np.asarray(jax.device_get(v))).sum()
+                for v in lora_b)),
+        }
+
+    before = get(trainer.state.params)
+    for cb in _make_batches(arch, 2):
+        trainer.train_step(cb)
+    after = get(trainer.state.params)
+
+    assert not np.array_equal(before["proj"], after["proj"]), \
+        "projector must train under lora + trainable_modules=projector"
+    np.testing.assert_array_equal(before["vis"], after["vis"])
+    assert after["lora_b"] > 0, "lora factors must also train"
+
+
+def test_lora_bf16_factors_get_f32_moments(tmp_path):
+    """QLoRA bf16 factors: grads cast to f32 and Adam moments init f32
+    (bf16 second moments can't resolve eps=1e-8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.train.lora import add_lora
+
+    arch = _make_arch()
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    params = add_lora(params, rank=2, key=jax.random.PRNGKey(1),
+                      dtype=jnp.bfloat16)
+    cfg = TrainerConfig(
+        run_dir=str(tmp_path / "run"), max_steps=1, save_every=100,
+        data_parallel=1, model_parallel=1, resume=False, lora=True,
+    )
+    trainer = Trainer(arch, params, OptimConfig(
+        learning_rate=1e-2, total_steps=1, schedule="constant"), cfg)
+
+    moment_dtypes = {
+        leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+    }
+    assert jnp.bfloat16 not in moment_dtypes, moment_dtypes
+
+    trainer.train_step(_make_batches(arch, 1)[0])
+    moment_dtypes = {
+        leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(trainer.state.opt_state)
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating)
+    }
+    assert jnp.bfloat16 not in moment_dtypes, moment_dtypes

@@ -235,19 +235,30 @@ def main(argv=None):
         "pdrop_type": args.pdrop_type,
         "merge_module": args.merge_module,
     }
+    if args.lora_enable:
+        final_meta["lora"] = {"r": args.lora_r, "alpha": args.lora_alpha,
+                              "quantized_base": args.lora_quantize_base}
     save_params(final, trainer.state.params, meta=final_meta)
     if args.lora_enable:
         # the reference's lora vs non_lora_trainables.bin artifact split
-        # (train.py:244-250, train_utils.py:126-158)
+        # (train.py:244-250, train_utils.py:126-158). npz has no bfloat16:
+        # factors serialize as float32 (exact upcast) with the original
+        # dtypes recorded in a sidecar so a consumer can restore them.
         import numpy as np
 
         from timeviper_tpu.train.lora import split_lora_state
 
         lora_sd, _ = split_lora_state(trainer.state.params)
-        np.savez(os.path.join(args.run_dir, "final", "lora_state.npz"),
-                 **{k: np.asarray(v) for k, v in lora_sd.items()})
-        final_meta["lora"] = {"r": args.lora_r, "alpha": args.lora_alpha,
-                              "quantized_base": args.lora_quantize_base}
+        np.savez(
+            os.path.join(args.run_dir, "final", "lora_state.npz"),
+            **{k: np.asarray(v, dtype=np.float32)
+               if v.dtype == jnp.bfloat16 else np.asarray(v)
+               for k, v in lora_sd.items()},
+        )
+        with open(os.path.join(args.run_dir, "final",
+                               "lora_state.dtypes.json"), "w") as f:
+            json.dump({k: str(v.dtype) for k, v in lora_sd.items()}, f,
+                      indent=2)
     with open(os.path.join(args.run_dir, "final", "config.json"), "w") as f:
         json.dump(final_meta, f, indent=2)
     overwatch.info(f"final artifacts at {os.path.join(args.run_dir, 'final')}")

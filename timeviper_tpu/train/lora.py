@@ -169,6 +169,39 @@ def split_lora_state(params: Any) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return lora, non_lora
 
 
+def trainable_lora_state(
+    params: Any, trainable_modules: Optional[str] = None
+) -> Dict[str, Any]:
+    """Flat {path: leaf} of everything a LoRA fine-tune should update.
+
+    The reference's LoRA recipe trains the peft factors PLUS any module
+    named in `--trainable_modules` (train.py:384-398 — e.g. a fresh
+    projector during VLM alignment); the extra modules are what
+    non_lora_trainables.bin carries (train_utils.py:150-158). Here the
+    trainable set = lora_a/lora_b factors + float leaves whose path
+    matches a comma-separated trainable_modules substring. Non-float
+    leaves (int8 kernel_q etc.) are never trainable; lora_scale is a
+    constant (= alpha/r), not a factor.
+    """
+    subs = [
+        s.strip()
+        for s in (trainable_modules or "").split(",")
+        if s.strip()
+    ]
+    out: Dict[str, Any] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        p = _path_str(path)
+        if p.endswith("lora_scale"):
+            continue
+        if "/lora_" in p or p.startswith("lora_"):
+            out[p] = leaf
+        elif subs and any(s in p for s in subs) and jnp.issubdtype(
+            getattr(leaf, "dtype", jnp.int32), jnp.floating
+        ):
+            out[p] = leaf
+    return out
+
+
 def graft_lora(params: Any, lora_flat: Dict[str, Any]) -> Any:
     """Replace leaves of `params` named by `lora_flat` ({path: leaf}, the
     split_lora_state layout). The partition/graft pair lets a train step

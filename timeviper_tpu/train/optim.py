@@ -65,6 +65,9 @@ def _module_label(path) -> str:
     for k in path:
         top = getattr(k, "key", getattr(k, "idx", None))
         break
+    # flat {path_str: leaf} dicts (the LoRA trainable sub-dict) carry the
+    # whole path in one key — label by the first component
+    top = str(top).split("/")[0]
     return {
         "vision_backbone": "vision",
         "projector": "projector",

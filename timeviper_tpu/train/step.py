@@ -119,6 +119,17 @@ def _factors_only(lora_flat):
             if not k.endswith("lora_scale")}
 
 
+def _cast_grads(grads, grad_dtype):
+    """bf16 grads -> grad_dtype (f32) so grad-accum sums and Adam moments
+    have full resolution (bf16 second moments are below eps=1e-8)."""
+    if grad_dtype is None:
+        return grads
+    return jax.tree_util.tree_map(
+        lambda g: g.astype(grad_dtype) if g.dtype == jnp.bfloat16 else g,
+        grads,
+    )
+
+
 def make_lora_train_step(
     arch: VLMArch,
     tx,
@@ -126,24 +137,28 @@ def make_lora_train_step(
     *,
     use_pdrop: bool = False,
     remat: bool = True,
+    grad_dtype=jnp.float32,
+    trainable_modules: Optional[str] = None,
 ):
-    """Returns `step(state, batch) -> (state, metrics)` updating only the
-    LoRA factors. `state.params` is the FULL pytree (frozen base + factors);
-    `state.opt_state` must be built over the factor sub-dict
-    (`init_lora_train_state`)."""
-    from timeviper_tpu.train.lora import graft_lora, split_lora_state
+    """Returns `step(state, batch) -> (state, metrics)` updating the LoRA
+    factors plus any `trainable_modules`-matched float leaves (the
+    reference unfreezes listed modules — e.g. a fresh projector — on top
+    of the peft factors, train.py:384-398). `state.params` is the FULL
+    pytree (frozen base + factors); `state.opt_state` must be built over
+    the same trainable sub-dict (`init_lora_train_state`)."""
+    from timeviper_tpu.train.lora import graft_lora, trainable_lora_state
 
     loss_fn = _make_loss_fn(arch, plan, use_pdrop=use_pdrop, remat=remat)
 
     def step(state: TrainState, batch: Dict[str, Any]):
-        lora0, _ = split_lora_state(state.params)
-        lora0 = _factors_only(lora0)
+        lora0 = trainable_lora_state(state.params, trainable_modules)
         assert lora0, "make_lora_train_step needs add_lora'd params"
 
         def lf(lora_flat):
             return loss_fn(graft_lora(state.params, lora_flat), batch)
 
         (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(lora0)
+        grads = _cast_grads(grads, grad_dtype)
         updates, opt_state = tx.update(grads, state.opt_state, lora0)
         new_lora = optax.apply_updates(lora0, updates)
         params = graft_lora(state.params, new_lora)
@@ -159,31 +174,34 @@ def make_lora_grad_step(
     *,
     use_pdrop: bool = False,
     remat: bool = True,
+    grad_dtype=jnp.float32,
+    trainable_modules: Optional[str] = None,
 ):
-    """Factor-only `grad(params, batch) -> (metrics, grads)` (grad-accum)."""
-    from timeviper_tpu.train.lora import graft_lora, split_lora_state
+    """Trainable-subset `grad(params, batch) -> (metrics, grads)`
+    (grad-accum)."""
+    from timeviper_tpu.train.lora import graft_lora, trainable_lora_state
 
     loss_fn = _make_loss_fn(arch, plan, use_pdrop=use_pdrop, remat=remat)
 
     def grad(params, batch):
-        lora0 = _factors_only(split_lora_state(params)[0])
+        lora0 = trainable_lora_state(params, trainable_modules)
 
         def lf(lora_flat):
             return loss_fn(graft_lora(params, lora_flat), batch)
 
         (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(lora0)
-        return _grad_metrics(loss, aux, grads), grads
+        return _grad_metrics(loss, aux, grads), _cast_grads(grads, grad_dtype)
 
     return grad
 
 
-def make_lora_apply_step(tx):
-    """Factor-only optimizer apply from accumulated factor grads."""
-    from timeviper_tpu.train.lora import graft_lora, split_lora_state
+def make_lora_apply_step(tx, trainable_modules: Optional[str] = None):
+    """Trainable-subset optimizer apply from accumulated grads."""
+    from timeviper_tpu.train.lora import graft_lora, trainable_lora_state
 
     def apply(state: TrainState, grads, denom: jax.Array):
         grads = jax.tree_util.tree_map(lambda g: g / denom, grads)
-        lora0 = _factors_only(split_lora_state(state.params)[0])
+        lora0 = trainable_lora_state(state.params, trainable_modules)
         updates, opt_state = tx.update(grads, state.opt_state, lora0)
         params = graft_lora(
             state.params, optax.apply_updates(lora0, updates))
@@ -193,14 +211,23 @@ def make_lora_apply_step(tx):
     return apply
 
 
-def init_lora_train_state(params, tx) -> TrainState:
-    """TrainState whose opt_state covers only the LoRA factors."""
-    from timeviper_tpu.train.lora import split_lora_state
+def init_lora_train_state(
+    params, tx, trainable_modules: Optional[str] = None
+) -> TrainState:
+    """TrainState whose opt_state covers only the trainable subset (LoRA
+    factors + trainable_modules leaves). Moments init in float32 even for
+    bf16 factors — grads are cast to f32 in the lora steps, so Adam's
+    mu/nu stay f32 end-to-end (bf16 nu can't resolve eps=1e-8)."""
+    from timeviper_tpu.train.lora import trainable_lora_state
 
-    lora0 = _factors_only(split_lora_state(params)[0])
+    lora0 = trainable_lora_state(params, trainable_modules)
+    lora0_f32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x,
+        lora0,
+    )
     return TrainState(
         params=params,
-        opt_state=tx.init(lora0),
+        opt_state=tx.init(lora0_f32),
         step=jnp.zeros((), jnp.int32),
     )
 

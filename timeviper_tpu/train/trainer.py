@@ -91,18 +91,20 @@ class Trainer:
             params, self.mesh, fsdp_params=trainer_cfg.fsdp_params
         )
         if trainer_cfg.lora:
-            # optimizer over the factor sub-dict only (QLoRA-safe)
-            from timeviper_tpu.train.lora import split_lora_state
-            from timeviper_tpu.train.step import (
-                _factors_only,
-                init_lora_train_state,
-            )
+            # optimizer over the trainable sub-dict only (QLoRA-safe):
+            # lora factors + trainable_modules-matched leaves (the
+            # reference unfreezes listed modules on top of the peft
+            # factors, train.py:384-398)
+            from timeviper_tpu.train.lora import trainable_lora_state
+            from timeviper_tpu.train.step import init_lora_train_state
 
-            factors = _factors_only(split_lora_state(params)[0])
+            factors = trainable_lora_state(
+                params, trainer_cfg.trainable_modules)
             assert factors, "TrainerConfig.lora=True needs add_lora'd params"
             tx = build_optimizer(optim_cfg, factors)
             self.tx = tx
-            self.state = init_lora_train_state(params, tx)
+            self.state = init_lora_train_state(
+                params, tx, trainer_cfg.trainable_modules)
         else:
             tx = build_optimizer(optim_cfg, params)
             tx = apply_freeze(tx, params, trainer_cfg.trainable_modules)
@@ -131,6 +133,7 @@ class Trainer:
                 step = make_lora_train_step(
                     self.arch, self.tx, plan,
                     use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                    trainable_modules=self.cfg.trainable_modules,
                 )
             else:
                 step = make_train_step(
@@ -149,6 +152,7 @@ class Trainer:
                 grad = make_lora_grad_step(
                     self.arch, plan,
                     use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                    trainable_modules=self.cfg.trainable_modules,
                 )
             else:
                 grad = make_grad_step(
@@ -171,7 +175,8 @@ class Trainer:
             if self.cfg.lora:
                 from timeviper_tpu.train.step import make_lora_apply_step
 
-                apply = make_lora_apply_step(self.tx)
+                apply = make_lora_apply_step(
+                    self.tx, trainable_modules=self.cfg.trainable_modules)
             else:
                 apply = make_apply_step(self.tx)
             self._step_fns["apply"] = jax.jit(
