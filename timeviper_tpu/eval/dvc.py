@@ -4,9 +4,9 @@ Re-implementation of the reference DVC scoring (eval/vllm_inference/
 eval_dvc.py:27-258, 780-840; itself following github.com/fujiso/SODA):
 
 * temporal IoU matrix between predicted and GT event segments,
-* caption similarity matrix via a pluggable scorer (METEOR jar when java
-  is available, CIDEr otherwise — the reference hard-requires the jar,
-  eval/metrics/meteor.py:21-35),
+* caption similarity matrix via a pluggable scorer — METEOR, like the
+  reference (eval/metrics/meteor.py:21-35): the jar when java+METEOR_JAR
+  are available, else the pure-Python METEOR (eval/meteor_py.py),
 * SODA's monotonic dp assignment over IoU·similarity, F-scored.
 """
 
@@ -100,7 +100,13 @@ class TokenF1Scorer:
 
 
 def get_caption_scorer(prefer: str = "auto"):
-    """METEOR jar when java + jar exist (reference default), else token-F1."""
+    """METEOR similarity, like the reference (eval_dvc.py uses the
+    meteor-1.5 jar). Order: the jar itself when java + METEOR_JAR exist
+    (bit-exact with the reference), else the pure-Python METEOR
+    (eval/meteor_py.py — same algorithm, exact+stem stages). Token-F1 only
+    on explicit prefer="f1"."""
+    if prefer == "f1":
+        return TokenF1Scorer()
     if prefer in ("auto", "meteor") and shutil.which("java"):
         try:
             from timeviper_tpu.eval.meteor import MeteorScorer
@@ -108,7 +114,9 @@ def get_caption_scorer(prefer: str = "auto"):
             return MeteorScorer()
         except Exception:
             pass
-    return TokenF1Scorer()
+    from timeviper_tpu.eval.meteor_py import MeteorPyScorer
+
+    return MeteorPyScorer()
 
 
 def soda_c(
