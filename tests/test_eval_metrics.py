@@ -80,7 +80,11 @@ def test_soda_dvc():
         "target": [
             {"segment": [0, 10], "sentence": "boil the pasta", "id": 0}],
     }]
-    assert evaluate_youcook2_dvc(good)["SODA_c"] > 50
+    # METEOR-1.5 similarity (the reference's, eval/metrics/meteor.py) caps
+    # well below 1.0 even for exact matches: penalty gamma*(chunks/m)^beta
+    # with beta=0.2 leaves an exact 3-token match at ~0.52, so SODA_c for
+    # two near-perfect segments lands near 40, not 90+ as under token-F1.
+    assert evaluate_youcook2_dvc(good)["SODA_c"] > 30
     assert evaluate_youcook2_dvc(bad)["SODA_c"] == 0.0
 
 
