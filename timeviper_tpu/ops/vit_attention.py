@@ -59,6 +59,7 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
     # row (folds into the same pass); an all-underflow row (every logit
     # < -87) yields 0/eps ≈ 0 rather than NaN via the 1e-30 floor.
     T = q_ref.shape[1]
+    D = v_ref.shape[2]
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
     colmask = (jj < t_valid).astype(jnp.float32)
     ones8 = jnp.ones((T, 8), q_ref.dtype)
@@ -68,16 +69,19 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
             preferred_element_type=jnp.float32,
         )  # (T, T)
         p = (jnp.exp(jnp.minimum(s, 75.0)) * colmask).astype(q_ref.dtype)
-        # row sums on the MXU; 8 lanes because unit-lane dots lower badly
-        l = jax.lax.dot_general(
-            p, ones8, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, :1]  # (T, 1)
+        # fold the row sum into the PV matmul: appending a ones column to
+        # v makes column D of the product the row sum l, for free — the
+        # MXU pads N to a 128 multiple either way. A separate p@ones dot
+        # costs as many MXU passes as PV itself (measured 3.5 ms/layer of
+        # a 15.3 ms SigLIP attention share; scripts/microbench_vit_attn.py)
+        vv = jnp.concatenate([v_ref[h], ones8], axis=1)
         o = jax.lax.dot_general(
-            p, v_ref[h], (((1,), (0,)), ((), ())),
+            p, vv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[h] = (o * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+        l = o[:, D:D + 1]  # (T, 1) row sums
+        o_ref[h] = (o[:, :D] * (1.0 / jnp.maximum(l, 1e-30))).astype(
+            o_ref.dtype)
 
 
 def vit_attention(
@@ -157,15 +161,16 @@ def _vit_attn_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
             preferred_element_type=jnp.float32,
         )  # (TR, T)
         p = (jnp.exp(jnp.minimum(s, 75.0)) * colmask).astype(q_ref.dtype)
-        l = jax.lax.dot_general(
-            p, ones8, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, :1]
+        # row sum folded into the PV matmul via a ones column (see
+        # _vit_attn_kernel): 15.3 -> 11.8 ms/layer at SigLIP clip shapes
+        vv = jnp.concatenate([v_ref[:, sl], ones8], axis=1)
         o = jax.lax.dot_general(
-            p, v_ref[:, sl], (((1,), (0,)), ((), ())),
+            p, vv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[:, sl] = (o * (1.0 / jnp.maximum(l, 1e-30))).astype(o_ref.dtype)
+        l = o[:, head_dim:head_dim + 1]
+        o_ref[:, sl] = (o[:, :head_dim] * (1.0 / jnp.maximum(l, 1e-30))
+                        ).astype(o_ref.dtype)
 
 
 def vit_attention_qkv(
