@@ -38,3 +38,70 @@ def test_seq_parallel_prefill_seq2():
     np.testing.assert_allclose(
         np.asarray(sp), np.asarray(ref["logits"]), rtol=2e-3, atol=2e-3
     )
+
+
+def test_seq_parallel_packed_matches_unsharded():
+    """Packed seq_idx sharded 8 ways: a 2-segment row whose boundary falls
+    MID-device and a 3-segment row with a boundary exactly ON the device
+    seam, vs the unsharded packed forward (VERDICT r3 ask #4)."""
+    cfg = tiny_nano_config()
+    params = init_nano_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    B, L = 1, 64  # 8 devices x 8 tokens/device
+    embeds = jax.random.normal(jax.random.PRNGKey(6), (B, L, cfg.hidden_size))
+    # segment boundary at 27 (mid-device-3) — 2 segments
+    seq_idx = jnp.concatenate(
+        [jnp.zeros((B, 27), jnp.int32), jnp.ones((B, L - 27), jnp.int32)],
+        axis=1)
+
+    ref = nano_forward(params, cfg, inputs_embeds=embeds, seq_idx=seq_idx,
+                       logits_to_keep=4)
+    mesh = make_mesh(data=1, model=1, seq=8)
+    logits, hidden = nano_prefill_seq_parallel(
+        params, cfg, embeds, mesh, logits_to_keep=4, seq_idx=seq_idx,
+        return_hidden=True)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref["logits"]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(hidden), np.asarray(ref["hidden_states"]),
+        rtol=2e-3, atol=2e-3)
+
+    # 3 segments: boundaries at 16 (exactly a device seam) and 45
+    seq_idx = jnp.asarray(
+        [[0] * 16 + [1] * 29 + [2] * (L - 45)], jnp.int32)
+    ref = nano_forward(params, cfg, inputs_embeds=embeds, seq_idx=seq_idx,
+                       logits_to_keep=4)
+    logits = nano_prefill_seq_parallel(
+        params, cfg, embeds, mesh, logits_to_keep=4, seq_idx=seq_idx)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref["logits"]), rtol=2e-3, atol=2e-3)
+
+
+def test_seq_parallel_packed_grads_match_unsharded():
+    """Gradient parity for the packed sharded forward (multi-chip packed
+    TRAINING, VERDICT r3 weak #4): d(mean last-logits²)/d(params) through
+    the shard_map collectives equals the unsharded packed gradient."""
+    cfg = tiny_nano_config(num_hidden_layers=4, hybrid_override_pattern="M-*-")
+    params = init_nano_params(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    B, L = 1, 32
+    embeds = jax.random.normal(jax.random.PRNGKey(8), (B, L, cfg.hidden_size))
+    seq_idx = jnp.asarray([[0] * 13 + [1] * (L - 13)], jnp.int32)
+    mesh = make_mesh(data=1, model=1, seq=4)
+
+    def loss_ref(p):
+        out = nano_forward(p, cfg, inputs_embeds=embeds, seq_idx=seq_idx)
+        return jnp.mean(out["logits"][:, -8:].astype(jnp.float32) ** 2)
+
+    def loss_sp(p):
+        logits = nano_prefill_seq_parallel(
+            p, cfg, embeds, mesh, logits_to_keep=8, seq_idx=seq_idx)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    # grads must be jitted: eager jax.grad through shard_map trips an XLA
+    # sharding-override assertion on the saved residuals (jax 0.9)
+    g_ref = jax.jit(jax.grad(loss_ref))(params)
+    g_sp = jax.jit(jax.grad(loss_sp))(params)
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_sp, _ = jax.tree_util.tree_flatten(g_sp)
+    for a, b in zip(flat_ref, flat_sp):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=5e-3, atol=5e-4)

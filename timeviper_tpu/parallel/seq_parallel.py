@@ -20,8 +20,14 @@ The whole prefill runs inside ONE `shard_map` over (data, seq) so each
 device executes the single-device Pallas/XLA kernels on its local span —
 no GSPMD guessing on the scan structure.
 
-Restriction: packed `seq_idx` is not supported here (long-video prefill is
-a single segment); the packed-training path uses the unsharded forward.
+Packed sequences (`seq_idx` segment ids, the reference's training mode,
+modeling_nano.py:569) shard too: the SSD's cross-device state composition
+zeroes the inbound state when the device seam crosses a segment start and
+stops the carry at devices containing internal boundaries; the conv halo
+carries the left neighbor's segment id so taps crossing a boundary mask
+out inside `causal_conv1d`; attention layers add a segment-equality mask
+(flash segment ids / dense block-diagonal). `seq_idx` must be
+nondecreasing (packed segments are contiguous), as in the reference.
 """
 
 from __future__ import annotations
@@ -66,6 +72,7 @@ def ssd_seq_sharded(
     dt_limit: Tuple[float, float] = (0.0, float("inf")),
     dt_mask: Optional[jax.Array] = None,
     return_final_state: bool = False,
+    seq_idx: Optional[jax.Array] = None,
 ):
     """Per-device SSD with cross-device state composition (see module doc).
 
@@ -73,11 +80,18 @@ def ssd_seq_sharded(
     positions, making them exact no-ops in the scan (decay exp(0)=1,
     contribution dt·B·x = 0) — how sharded pdrop drops tokens without
     reshaping (see `nano_prefill_seq_parallel`).
+    `seq_idx` (B, Lloc) int32 LOCAL span of nondecreasing packed segment
+    ids: the local scan resets at segment starts (ssd kernels' seq_idx),
+    the cross-device carry is zeroed when the device seam crosses a
+    segment boundary, and a device containing an internal boundary stops
+    the carry (its final segment started locally).
     With `return_final_state`, also returns the GLOBAL final state
     (B, H, P, N) — the state after the last device's span, i.e. exactly
     what decode's `ssd_update_step` continues from.
     """
     H = x.shape[2]
+    assert not (dt_mask is not None and seq_idx is not None), \
+        "masked pdrop and packed seq_idx are mutually exclusive here"
 
     dtf = _process_dt(dt, dt_bias, dt_softplus, dt_limit)  # (B, Lloc, H)
     if dt_mask is not None:
@@ -97,7 +111,7 @@ def ssd_seq_sharded(
         y_local, state_local = ssd_auto(
             x, dt, A, B_, C, chunk_size=chunk_size, D=D, dt_bias=dt_bias,
             dt_softplus=dt_softplus, dt_limit=dt_limit,
-            return_final_state=True,
+            seq_idx=seq_idx, return_final_state=True,
         )
 
     # total decay over the local span, per head: exp(sum dA). Plain f32
@@ -115,15 +129,34 @@ def ssd_seq_sharded(
     decays = jax.lax.all_gather(local_decay, axis_name)  # (ndev, B, H)
     states = jax.lax.all_gather(state_local, axis_name)  # (ndev, B, H, P, N)
 
+    if seq_idx is not None:
+        # segment-aware carry gates (seq_idx nondecreasing): the carry
+        # enters device k only when the seam is segment-continuous, and
+        # flows THROUGH k only when k holds no internal boundary (its
+        # local final state already restarted from the last segment start)
+        seg_first, seg_last = seq_idx[:, 0], seq_idx[:, -1]  # (B,)
+        firsts = jax.lax.all_gather(seg_first, axis_name)    # (ndev, B)
+        lasts = jax.lax.all_gather(seg_last, axis_name)
+        prev_last = jnp.concatenate(
+            [jnp.full_like(lasts[:1], -1), lasts[:-1]], axis=0)
+        cont_in = (prev_last == firsts).astype(jnp.float32)  # (ndev, B)
+        through = (firsts == lasts).astype(jnp.float32)
+    else:
+        cont_in = through = jnp.ones(decays.shape[:2], jnp.float32)
+
     def compose(carry, inp):
-        # carry: inbound state for device k; inp: (decay_k, state_k)
-        d_k, s_k = inp
-        return carry * d_k[..., None, None] + s_k, carry
+        # carry: state arriving at device k's seam; inbound: what enters
+        # k's span (zeroed at a broken seam)
+        d_k, s_k, c_k, t_k = inp
+        inbound = carry * c_k[:, None, None, None]
+        new = inbound * (d_k * t_k[:, None])[..., None, None] + s_k
+        return new, inbound
 
     # scan over devices 0..ndev-1; carry entering device k = inbound state;
     # final carry = state after the LAST device = global final SSM state
     init = jnp.zeros_like(state_local)
-    final_state, inbound_all = jax.lax.scan(compose, init, (decays, states))
+    final_state, inbound_all = jax.lax.scan(
+        compose, init, (decays, states, cont_in, through))
     h_in = inbound_all[my]  # (B, H, P, N) state entering my span
 
     # 3. correction: y_i += C_i · h_in * exp(cumsum dA up to i, inclusive)
@@ -136,6 +169,10 @@ def ssd_seq_sharded(
         "blhn,bhpn->blhp", Ch, h_in,
         precision=jax.lax.Precision.HIGHEST,
     ) * jnp.exp(dA_cum)[..., None]
+    if seq_idx is not None:
+        # the inbound state reaches only the span's FIRST segment
+        y_corr = y_corr * (
+            seq_idx == seq_idx[:, :1]).astype(jnp.float32)[..., None, None]
     y = (y_local.astype(jnp.float32) + y_corr).astype(x.dtype)
     if return_final_state:
         return y, final_state
@@ -148,7 +185,7 @@ def ssd_seq_sharded(
 
 
 def _block_attn_lse(q, k, v, *, causal, valid_kv=None, valid_q=None,
-                    scale=None):
+                    seg_q=None, seg_kv=None, scale=None):
     """One KV-block attention returning (normalized out, sumexp, rowmax).
 
     The streaming-softmax primitive for ring attention: per-block partial
@@ -164,6 +201,9 @@ def _block_attn_lse(q, k, v, *, causal, valid_kv=None, valid_q=None,
     downstream even at dead positions — the dense path's denom guard
     avoids this at the source). Invalid rows' outputs are garbage by
     contract; callers never consume them.
+    `seg_q`/`seg_kv` (B, Lq)/(B, Lk) int32 packed segment ids restrict
+    attention to equal segments (block-diagonal packing); they compose
+    with the valid masks (invalid rows get segment -1).
     Returns o: (B, Lq, Hq, D); l, m: (B, Hq, Lq) float32.
     """
     import math as _math
@@ -182,15 +222,19 @@ def _block_attn_lse(q, k, v, *, causal, valid_kv=None, valid_q=None,
             )
 
             segs = None
-            if valid_kv is not None:
-                kv_seg = jnp.broadcast_to(
-                    jnp.where(valid_kv, 0, 1).astype(jnp.int32)[None],
-                    (B, Lk))
-                vq = valid_q if valid_q is not None else jnp.ones(
-                    (Lq,), bool)
-                q_seg = jnp.broadcast_to(
-                    jnp.where(vq, 0, 1).astype(jnp.int32)[None], (B, Lq))
-                segs = SegmentIds(q=q_seg, kv=kv_seg)
+            if valid_kv is not None or seg_q is not None:
+                base_kv = (seg_kv if seg_kv is not None
+                           else jnp.zeros((B, Lk), jnp.int32))
+                base_q = (seg_q if seg_q is not None
+                          else jnp.zeros((B, Lq), jnp.int32))
+                if valid_kv is not None:
+                    base_kv = jnp.where(valid_kv[None], base_kv, -1)
+                    vq = (valid_q if valid_q is not None
+                          else jnp.ones((Lq,), bool))
+                    # invalid q rows pair with invalid kv rows (NaN guard)
+                    base_q = jnp.where(vq[None], base_q, -1)
+                segs = SegmentIds(q=jnp.broadcast_to(base_q, (B, Lq)),
+                                  kv=jnp.broadcast_to(base_kv, (B, Lk)))
 
             rep = Hq // Hkv
             kk, vv = (jnp.repeat(k, rep, axis=2),
@@ -213,12 +257,14 @@ def _block_attn_lse(q, k, v, *, causal, valid_kv=None, valid_q=None,
     logits = jnp.einsum(
         "bqhrd,bkhd->bhrqk", qg, k,
         preferred_element_type=jnp.float32) * scale
-    mask = jnp.ones((Lq, Lk), bool)
+    mask = jnp.ones((1, Lq, Lk), bool)
     if causal:
-        mask = jnp.arange(Lq)[:, None] >= jnp.arange(Lk)[None, :]
+        mask = mask & (jnp.arange(Lq)[:, None] >= jnp.arange(Lk)[None, :])
     if valid_kv is not None:
-        mask = mask & valid_kv[None, :]
-    logits = jnp.where(mask[None, None, None], logits, -jnp.inf)
+        mask = mask & valid_kv[None, None, :]
+    if seg_q is not None:
+        mask = mask & (seg_q[:, :, None] == seg_kv[:, None, :])
+    logits = jnp.where(mask[:, None, None], logits, -jnp.inf)
     m = jnp.max(logits, axis=-1)  # (B, Hkv, rep, Lq)
     p = jnp.exp(logits - jnp.where(
         jnp.isneginf(m), 0.0, m)[..., None])
@@ -240,6 +286,7 @@ def attention_seq_ring(
     axis_name: str,
     n_shards: int,
     valid_g: Optional[jax.Array] = None,  # (L,) global bool
+    seq_g: Optional[jax.Array] = None,    # (B, L) global packed segment ids
 ) -> jax.Array:
     """Causal attention with KV blocks rotating around the seq ring.
 
@@ -276,10 +323,17 @@ def attention_seq_ring(
             return None
         return jax.lax.dynamic_slice(valid_g, (j * Lloc,), (Lloc,))
 
+    def block_seg(j):
+        if seq_g is None:
+            return None
+        return jax.lax.dynamic_slice(
+            seq_g, (0, j * Lloc), (seq_g.shape[0], Lloc))
+
     # step 0: my own (diagonal, causal) block
     o0, l0, m0 = _block_attn_lse(q, k, v, causal=True,
                                  valid_kv=block_valid(my),
-                                 valid_q=block_valid(my))
+                                 valid_q=block_valid(my),
+                                 seg_q=block_seg(my), seg_kv=block_seg(my))
     acc = (jnp.zeros_like(q, dtype=jnp.float32),
            jnp.zeros((B, Hq, Lloc), jnp.float32),
            jnp.full((B, Hq, Lloc), -jnp.inf, jnp.float32))
@@ -296,7 +350,9 @@ def attention_seq_ring(
             j = (my - s) % n_shards
             o_s, l_s, m_s = _block_attn_lse(q, kc, vc, causal=False,
                                             valid_kv=block_valid(j),
-                                            valid_q=block_valid(my))
+                                            valid_q=block_valid(my),
+                                            seg_q=block_seg(my),
+                                            seg_kv=block_seg(j))
             acc = merge(acc, o_s, l_s, m_s, s <= my)
             return (acc, kc, vc), None
 
@@ -318,6 +374,7 @@ def attention_seq_sharded(
     axis_name: str,
     q_chunk: int = 1024,
     kv_valid: Optional[jax.Array] = None,  # (L,) global bool, True=attend
+    seq_g: Optional[jax.Array] = None,     # (B, L) global packed segment ids
     return_kv: bool = False,
 ):
     """Causal attention with local queries against all-gathered global KV.
@@ -339,14 +396,18 @@ def attention_seq_sharded(
     kv_pos = jnp.arange(L)
 
     def chunk_mask(q_pos):
-        mask = q_pos[:, None] >= kv_pos[None, :]
+        # (1 or B, Lq_chunk, L) — broadcastable to attention()'s mask
+        mask = (q_pos[:, None] >= kv_pos[None, :])[None]
         if kv_valid is not None:
-            mask = mask & kv_valid[None, :]
+            mask = mask & kv_valid[None, None, :]
+        if seq_g is not None:
+            mask = mask & (jnp.take(seq_g, q_pos, axis=1)[:, :, None]
+                           == seq_g[:, None, :])
         return mask
 
     if Lloc <= q_chunk:
         q_pos = my * Lloc + jnp.arange(Lloc)
-        out = attention(q, kg, vg, chunk_mask(q_pos)[None])
+        out = attention(q, kg, vg, chunk_mask(q_pos))
         return (out, (kg, vg)) if return_kv else out
 
     # ceil-chunk: queries are independent, so a non-divisible Lloc pads
@@ -363,7 +424,7 @@ def attention_seq_sharded(
         qi, ci = args
         q_pos = jnp.minimum(my * Lloc + ci * q_chunk + jnp.arange(q_chunk),
                             my * Lloc + Lloc - 1)
-        return attention(qi, kg, vg, chunk_mask(q_pos)[None])
+        return attention(qi, kg, vg, chunk_mask(q_pos))
 
     out = jax.lax.map(one_chunk, (qc, jnp.arange(nchunk)))
     out = jnp.moveaxis(out, 0, 1).reshape(B, Lpad, *out.shape[3:])
@@ -546,6 +607,8 @@ def nano_prefill_seq_parallel(
     fill_cache: bool = False,
     cache_max_len: int = 0,
     cache_dtype=jnp.bfloat16,
+    seq_idx: Optional[jax.Array] = None,  # (B, L) global packed segment ids
+    return_hidden: bool = False,
     use_pdrop: bool = False,
     pdrop_vision_start: Any = None,  # traced scalar, GLOBAL position
     pdrop_num_vision: int = 0,       # static original visual-token count
@@ -576,8 +639,25 @@ def nano_prefill_seq_parallel(
 
     The cache is replicated across the mesh, so `nano_decode_step` runs
     on it directly — under the mesh (TP via GSPMD) or on one device.
+
+    Packed sequences: `seq_idx` (B, L) nondecreasing segment ids (the
+    reference's packed training mode, modeling_nano.py:569) shard with the
+    embeddings; SSD state, conv taps, and attention all reset/mask at
+    segment boundaries exactly as the unsharded packed forward (module
+    doc). Mutually exclusive with `use_pdrop`.
+
+    `return_hidden` additionally returns the final post-norm hidden states
+    sharded over (data, seq) — the packed-training hook (per-shard CE
+    against sharded labels avoids gathering (L, vocab) logits).
     """
     L_global = inputs_embeds.shape[1]
+    assert not (use_pdrop and seq_idx is not None)
+    assert not (fill_cache and return_hidden)
+    assert not (use_pdrop and return_hidden)
+    packed = seq_idx is not None
+    if seq_idx is None:
+        seq_idx = jnp.zeros(
+            (inputs_embeds.shape[0], L_global), jnp.int32)
     if fill_cache:
         assert cache_max_len >= L_global, (cache_max_len, L_global)
         # the cache out_spec is P() (replicated): with data > 1 each data
@@ -601,8 +681,8 @@ def nano_prefill_seq_parallel(
         merge_params_arg = tuple(
             m if m is not None else {} for m in merge_params)
 
-    def local_forward(params, embeds, valid_from, pdrop_vision_start,
-                      pdrop_query_pos, merge_params):
+    def local_forward(params, embeds, seq_local, valid_from,
+                      pdrop_vision_start, pdrop_query_pos, merge_params):
         merge_params = [m if m else None for m in merge_params]
         # embeds: (B, Lloc, D) — this device's span
         B, Lloc, _ = embeds.shape
@@ -611,6 +691,12 @@ def nano_prefill_seq_parallel(
         pos = my * Lloc + jnp.arange(Lloc)          # global positions
         tok_valid = pos >= valid_from               # (Lloc,)
         kv_valid_g = jnp.arange(L_global) >= valid_from
+        if packed:
+            seq_loc = seq_local                      # (B, Lloc)
+            seq_glob = jax.lax.all_gather(
+                seq_local, "seq", axis=1, tiled=True)  # (B, L)
+        else:
+            seq_loc = seq_glob = None
 
         def zp(x, lv):  # (B, Lloc, ...) — where kills NaN/garbage
             return jnp.where(lv[None, :, None], x, jnp.zeros((), x.dtype))
@@ -668,11 +754,14 @@ def nano_prefill_seq_parallel(
                 else:
                     # the depthwise conv (K=4) spans the device boundary
                     # by K-1 tokens; exchange a halo with the left
-                    # neighbor. re-zero post-conv: conv bias + silu leak
-                    # nonzeros into pads
-                    xs = zp(_halo_conv(xr, cv["x"], cfg, "seq"), lv)
-                    Bc = zp(_halo_conv(Br, cv["B"], cfg, "seq"), lv)
-                    Cc = zp(_halo_conv(Cr, cv["C"], cfg, "seq"), lv)
+                    # neighbor (segment-masked when packed). re-zero
+                    # post-conv: conv bias + silu leak nonzeros into pads
+                    xs = zp(_halo_conv(xr, cv["x"], cfg, "seq",
+                                       seq_idx=seq_loc), lv)
+                    Bc = zp(_halo_conv(Br, cv["B"], cfg, "seq",
+                                       seq_idx=seq_loc), lv)
+                    Cc = zp(_halo_conv(Cr, cv["C"], cfg, "seq",
+                                       seq_idx=seq_loc), lv)
                 y = ssd_seq_sharded(
                     xs.reshape(B, Lloc, H, Pd), dtr,
                     -jnp.exp(p["A_log"]),
@@ -681,6 +770,7 @@ def nano_prefill_seq_parallel(
                     D=p["D"], dt_bias=p["dt_bias"],
                     dt_limit=cfg.time_step_limit,
                     dt_mask=lv[None, :] if dropped else None,
+                    seq_idx=None if dropped else seq_loc,
                     return_final_state=fill_cache,
                 )
                 if fill_cache:
@@ -703,7 +793,7 @@ def nano_prefill_seq_parallel(
                     # generation needs the gathered KV for the cache anyway
                     o, (kg, vg_) = attention_seq_sharded(
                         q, k, v, axis_name="seq", kv_valid=vg,
-                        return_kv=True)
+                        seq_g=seq_glob, return_kv=True)
                     pad = cache_max_len - L_global
                     layer_cache["k"] = jnp.pad(
                         kg, ((0, 0), (0, pad), (0, 0), (0, 0))
@@ -716,7 +806,7 @@ def nano_prefill_seq_parallel(
                     # flight instead of the full gathered KV
                     o = attention_seq_ring(
                         q, k, v, axis_name="seq", n_shards=n_seq_shards,
-                        valid_g=vg)
+                        valid_g=vg, seq_g=seq_glob)
                 out = _apply_linear(p["o_proj"], o.reshape(B, Lloc, Hq * hd))
             else:
                 out = mlp_mixer_forward(lp["mixer"], cfg, normed)
@@ -852,6 +942,8 @@ def nano_prefill_seq_parallel(
         tail = hidden[:, -logits_to_keep:]
         tails = jax.lax.all_gather(tail, "seq")  # (ndev, B, k, D)
         logits = compute_logits(params, tails[-1])
+        if return_hidden:
+            return logits, hidden
         if not fill_cache:
             return logits
         cache = {
@@ -863,15 +955,22 @@ def nano_prefill_seq_parallel(
 
     from jax.experimental.shard_map import shard_map
 
+    if return_hidden:
+        out_specs: Any = (P("data"), P("data", "seq", None))
+    elif fill_cache:
+        out_specs = (P("data"), P())
+    else:
+        out_specs = P("data")
     fn = shard_map(
         local_forward,
         mesh=mesh,
-        in_specs=(P(), P("data", "seq", None), P(), P(), P(), P()),
-        out_specs=(P("data"), P()) if fill_cache else P("data"),
+        in_specs=(P(), P("data", "seq", None), P("data", "seq"),
+                  P(), P(), P(), P()),
+        out_specs=out_specs,
         check_rep=False,
     )
-    return fn(params, inputs_embeds, valid_from, pdrop_vision_start,
-              pdrop_query_pos, merge_params_arg)
+    return fn(params, inputs_embeds, seq_idx, valid_from,
+              pdrop_vision_start, pdrop_query_pos, merge_params_arg)
 
 
 def encode_frames_seq_parallel(
@@ -915,10 +1014,15 @@ def encode_frames_seq_parallel(
     return fn(vparams, pparams, pixels)
 
 
-def _halo_conv(x, conv_params, cfg, axis_name):
+def _halo_conv(x, conv_params, cfg, axis_name, seq_idx=None):
     """Depthwise causal conv with a (K-1)-token halo from the left
     neighbor: shift the last K-1 tokens one device to the right, prepend,
-    convolve, drop the halo."""
+    convolve, drop the halo.
+
+    With packed `seq_idx` (B, Lloc), the halo rows carry the left
+    neighbor's trailing segment id, so taps crossing a segment boundary —
+    at the seam or inside the span — mask to causal zero-padding inside
+    `causal_conv1d` (its seq_idx semantics, ops/conv.py)."""
     K = cfg.mamba_d_conv
     halo = x[:, -(K - 1):, :]
     ndev = jax.lax.psum(1, axis_name)
@@ -929,8 +1033,16 @@ def _halo_conv(x, conv_params, cfg, axis_name):
     my = jax.lax.axis_index(axis_name)
     from_left = jnp.where(my == 0, jnp.zeros_like(from_left), from_left)
     xp = jnp.concatenate([from_left, x], axis=1)
+    ext_seq = None
+    if seq_idx is not None:
+        halo_seg = jnp.broadcast_to(
+            seq_idx[:, -1:], (seq_idx.shape[0], K - 1))
+        seg_left = jax.lax.ppermute(halo_seg, axis_name, perm)
+        # device 0's halo is causal zero-padding: a never-matching id
+        seg_left = jnp.where(my == 0, jnp.full_like(seg_left, -1), seg_left)
+        ext_seq = jnp.concatenate([seg_left, seq_idx], axis=1)
     y = causal_conv1d(
         xp, conv_params["weight"], conv_params["bias"],
-        activation=cfg.mamba_hidden_act,
+        activation=cfg.mamba_hidden_act, seq_idx=ext_seq,
     )
     return y[:, K - 1:, :]
