@@ -120,6 +120,11 @@ def bench_e2e():
 
     n_clips = -(-F // clip)
     L = F * tokens_per_frame
+
+    if os.environ.get("BENCH_STREAM", "0") == "1":
+        return bench_e2e_stream(vparams, pparams, lparams, lcfg, encode_clip,
+                                pixels, F, clip, n_clips, steps)
+
     # beyond ~6k frames the per-layer wide intermediates exceed HBM next
     # to the int8 weights; the chunked long-context forward streams them
     # (models/longctx.py) — this is what puts 10k frames on one chip
@@ -176,6 +181,100 @@ def bench_e2e():
         "phases": {"vision_encode_s": round(vis_s, 2),
                    "llm_prefill_s": round(llm_s, 2),
                    "tokens": L},
+    }))
+
+
+def bench_e2e_stream(vparams, pparams, lparams, lcfg, encode_clip, pixels,
+                     F, clip, n_clips, steps):
+    """Streaming e2e: each clip's fused tokens enter the backbone as soon
+    as they exist, via the prefix-cache continuation (the same carried
+    conv/SSM state + KV-append machinery serving uses). The host never
+    syncs between phases — encode_clip(i+1) is dispatched while the
+    device still runs prefill_chunk(i) — and the wide per-layer
+    intermediates exist only at chunk size, so 10k+ frames fit without
+    the layer-major longctx path. Reference seam: clip-chunked eval
+    encode, generic_vlm.py:274-281 (which still runs its phases
+    back-to-back)."""
+    import functools
+
+    from timeviper_tpu.models.nano import nano_forward
+    from timeviper_tpu.models.prefix_cache import nano_forward_continue
+
+    tokens_per_frame = 16
+    S = clip * tokens_per_frame
+    L = F * tokens_per_frame
+    cache_len = n_clips * S
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def prefill_first(lparams, embeds):
+        out = nano_forward(lparams, lcfg, inputs_embeds=embeds,
+                           fill_cache=True, cache_max_len=cache_len,
+                           logits_to_keep=1)
+        return out["logits"], out["cache"]
+
+    # continuation variants per KV bucket: early chunks attend a short
+    # prefix — a static bucket >= length+S caps the flash prefix part at
+    # the bucket instead of full capacity (one compile per bucket)
+    buckets = [b for b in (8192, 16384, 32768, 65536) if b < cache_len]
+    buckets.append(cache_len)
+
+    def bucket_for(end):
+        return next(b for b in buckets if b >= end)
+
+    conts = {}
+
+    def prefill_cont(kb):
+        if kb not in conts:
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def cont(lparams, embeds, cache, _kb=kb):
+                logits, cache = nano_forward_continue(
+                    lparams, lcfg, embeds, cache,
+                    jnp.asarray(S, jnp.int32), kv_bucket=_kb)
+                return logits, cache
+
+            conts[kb] = cont
+        return conts[kb]
+
+    def run():
+        t0 = time.perf_counter()
+        logits = cache = None
+        for i in range(n_clips):
+            emb = encode_clip(vparams, pparams, pixels)
+            if cache is None:
+                logits, cache = prefill_first(lparams, emb)
+            else:
+                logits, cache = prefill_cont(
+                    bucket_for((i + 1) * S))(lparams, emb, cache)
+        _sync(logits)
+        del cache
+        return time.perf_counter() - t0
+
+    run()  # warmup / compile
+    total = 0.0
+    for _ in range(steps):
+        total += run() / steps
+
+    # phase attribution: encode-only wall, measured separately (the
+    # streamed run itself has no phase boundary to time)
+    _sync(encode_clip(vparams, pparams, pixels))
+    t0 = time.perf_counter()
+    for _ in range(n_clips):
+        e = encode_clip(vparams, pparams, pixels)
+    _sync(e)
+    enc_s = time.perf_counter() - t0
+
+    fps = F / total
+    print(json.dumps({
+        "metric": f"e2e_{F}frames_first_token",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / A100_E2E_FRAMES_S, 3),
+        "phases": {"total_s": round(total, 2),
+                   "vision_encode_s": round(enc_s, 2),
+                   "llm_stream_s": round(total - enc_s, 2),
+                   "tokens": L},
+        "note": "streaming: encode and chunked prefill interleaved "
+                "per 256-frame clip (prefix-cache continuation)",
     }))
 
 

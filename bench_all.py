@@ -732,6 +732,62 @@ def check_onchip(results):
          jax.jit(lambda x: fused_ln(x, wn, bn, eps=1e-6))(xres),
          jax.jit(lambda x: _ln_ref(x).astype(jnp.bfloat16))(xres), 3e-2)
 
+    # --- generate path on chip: bucketed prefill -> teacher-forced decode
+    # steps vs the full-sequence forward (VERDICT r3 ask #8: the old gate
+    # covered kernels only, never the composed generate path) ---
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.models.nano import (
+        init_nano_params,
+        nano_decode_step,
+        nano_forward,
+    )
+
+    gcfg = NanoConfig(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=6, hybrid_override_pattern="M-M*M-",
+        num_attention_heads=4, head_dim=64, num_key_value_heads=2,
+        ssm_state_size=128, mamba_num_heads=8, mamba_head_dim=32,
+        mamba_n_groups=8, chunk_size=256)
+    gparams = jax.jit(lambda k: init_nano_params(
+        k, gcfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(13))
+    Lp, T = 512, 4
+    ids = jax.random.randint(jax.random.PRNGKey(14), (1, Lp + T), 3, 500)
+    full = jax.jit(lambda p, i: nano_forward(p, gcfg, input_ids=i)["logits"])(
+        gparams, ids)
+    pre = jax.jit(lambda p, i: nano_forward(
+        p, gcfg, input_ids=i, fill_cache=True, cache_max_len=Lp + T + 4,
+        logits_to_keep=1))(gparams, ids[:, :Lp])
+    got = [pre["logits"][:, -1]]
+    cache = pre["cache"]
+    dstep = jax.jit(lambda p, t, c: nano_decode_step(p, gcfg, t, c))
+    for t in range(T):
+        lg, cache = dstep(gparams, ids[:, Lp + t:Lp + t + 1], cache)
+        got.append(lg.reshape(1, -1))
+    want = jnp.stack([full[:, Lp - 1 + t] for t in range(T + 1)], 1)
+    _cmp("generate_prefill_decode", jnp.stack(got, 1), want, 3e-2)
+
+    # --- prefix-cache continuation: S=256 takes the rectangular flash
+    # suffix-attention path (models/prefix_cache._attention_suffix_flash),
+    # S=24 the jnp online-softmax path; both vs the fused full forward ---
+    from timeviper_tpu.models.prefix_cache import nano_forward_continue
+
+    for S_, name in ((256, "prefix_continue_flash"),
+                     (24, "prefix_continue_small")):
+        ids2 = jax.random.randint(
+            jax.random.PRNGKey(15 + S_), (1, 768 + S_), 3, 500)
+        full2 = jax.jit(
+            lambda p, i: nano_forward(p, gcfg, input_ids=i,
+                                      logits_to_keep=1)["logits"])(
+            gparams, ids2)
+        pre2 = jax.jit(lambda p, i: nano_forward(
+            p, gcfg, input_ids=i, fill_cache=True, cache_max_len=1280,
+            logits_to_keep=1))(gparams, ids2[:, :768])
+        emb = jnp.take(gparams["embeddings"], ids2[:, 768:], axis=0)
+        lg, _ = jax.jit(lambda p, e, c, s=S_: nano_forward_continue(
+            p, gcfg, e, c, jnp.asarray(s, jnp.int32)))(
+            gparams, emb, pre2["cache"])
+        _cmp(name, lg.reshape(1, -1), full2[:, -1], 3e-2)
+
     if failures:
         for r in results:
             print(json.dumps(r))

@@ -148,11 +148,25 @@ def attention_suffix(
 
     Validity for query i: slot j iff valid_from <= j < length + i + 1 (the
     prefix plus the causal part of the suffix). Scans the KV buffer in
-    chunks so peak memory is O(S · kv_chunk) instead of O(S · M)."""
+    chunks so peak memory is O(S · kv_chunk) instead of O(S · M).
+
+    Large suffixes (S ≥ 256, streaming chunked prefill: bench.py
+    BENCH_STREAM, serving engine chunked prompts) take a two-part flash
+    path instead: a rectangular NON-causal flash of the suffix against
+    the prefix slots (segment-masked to [valid_from, length) ∧ extra) and
+    a causal flash of the suffix against itself, merged by the (l, m)
+    streaming-softmax invariant — the jnp scan would run the score
+    matmuls out of VMEM at these sizes (measured 4.1k tok/s vs 10.9k for
+    the batch prefill at the 5k-frame stream)."""
     B, S, Hq, hd = q.shape
     M, Hkv = k.shape[1], k.shape[2]
     rep = Hq // Hkv
     scale = 1.0 / (hd ** 0.5)
+
+    if (jax.default_backend() in ("tpu", "axon") and S >= 256
+            and S % 256 == 0 and M % 256 == 0 and hd % 128 == 0):
+        return _attention_suffix_flash(q, k, v, length, valid_from,
+                                       kv_valid_mask, scale)
 
     Mpad = -(-M // kv_chunk) * kv_chunk
     if Mpad != M:
@@ -214,6 +228,50 @@ def attention_suffix(
     return out.astype(q.dtype)
 
 
+def _attention_suffix_flash(q, k, v, length, valid_from, kv_valid_mask,
+                            scale):
+    """Two-part flash suffix attention (see `attention_suffix`).
+
+    The suffix K/V rows already sit in the buffer at [length, length+S);
+    they are re-sliced out for the causal part (trailing pads are safe:
+    pads only follow real tokens, so any query that could see a pad key
+    is itself a pad — its output is discarded by contract)."""
+    from timeviper_tpu.parallel.seq_parallel import _block_attn_lse
+
+    B, S = q.shape[:2]
+    M = k.shape[1]
+    slots = jnp.arange(M, dtype=jnp.int32)
+    ok = (slots >= valid_from) & (slots < length)
+    if kv_valid_mask is not None:
+        ok = ok & kv_valid_mask
+    seg_kv = jnp.broadcast_to(
+        jnp.where(ok, 0, 1).astype(jnp.int32)[None], (B, M))
+    seg_q = jnp.zeros((B, S), jnp.int32)
+    o_p, l_p, m_p = _block_attn_lse(q, k, v, causal=False,
+                                    seg_q=seg_q, seg_kv=seg_kv, scale=scale)
+
+    zero = jnp.zeros((), length.dtype)
+    ks = jax.lax.dynamic_slice(k, (zero, length, zero, zero),
+                               (B, S, k.shape[2], k.shape[3]))
+    vs = jax.lax.dynamic_slice(v, (zero, length, zero, zero),
+                               (B, S, v.shape[2], v.shape[3]))
+    o_s, l_s, m_s = _block_attn_lse(q, ks.astype(q.dtype),
+                                    vs.astype(q.dtype), causal=True,
+                                    scale=scale)
+
+    # (l, m) merge with zero-l guards: the prefix part is fully masked on
+    # an empty prefix (length == valid_from) and its o rows are then NaN
+    m_new = jnp.maximum(m_p, m_s)  # (B, Hq, S)
+    a = jnp.where(l_p > 0, l_p * jnp.exp(m_p - m_new), 0.0)
+    b = jnp.where(l_s > 0, l_s * jnp.exp(m_s - m_new), 0.0)
+    denom = jnp.maximum(a + b, 1e-30)
+    wa = jnp.moveaxis(a / denom, 1, 2)[..., None]  # (B, S, Hq, 1)
+    wb = jnp.moveaxis(b / denom, 1, 2)[..., None]
+    out = (jnp.where(wa > 0, o_p.astype(jnp.float32) * wa, 0.0)
+           + jnp.where(wb > 0, o_s.astype(jnp.float32) * wb, 0.0))
+    return out.astype(q.dtype)
+
+
 def _attention_continue(
     p: Dict[str, Any],
     cfg: NanoConfig,
@@ -222,6 +280,7 @@ def _attention_continue(
     length: jax.Array,
     valid_from: jax.Array,
     kv_valid_mask: Optional[jax.Array],
+    kv_bucket: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     B, S, _ = x.shape
     Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -236,8 +295,17 @@ def _attention_continue(
     v = jax.lax.dynamic_update_slice(
         cache_layer["v"], v_new.astype(cache_layer["v"].dtype),
         (zero, length, zero, zero))
-    out = attention_suffix(q, k, v, length, valid_from,
-                           kv_valid_mask=kv_valid_mask)
+    # kv_bucket (STATIC) bounds the attention to the buffer's first rows —
+    # a streaming caller whose early chunks see a short prefix picks a
+    # bucket ≥ length+S instead of paying the full capacity every chunk
+    # (the buffers themselves stay full-size; only attention is sliced)
+    ka, va = ((k[:, :kv_bucket], v[:, :kv_bucket])
+              if kv_bucket is not None and kv_bucket < k.shape[1]
+              else (k, v))
+    mask_a = (kv_valid_mask[:ka.shape[1]]
+              if kv_valid_mask is not None else None)
+    out = attention_suffix(q, ka, va, length, valid_from,
+                           kv_valid_mask=mask_a)
     out = _apply_linear(p["o_proj"], out.reshape(B, S, Hq * hd))
     return out, {"k": k, "v": v}
 
@@ -336,6 +404,8 @@ def nano_forward_continue(
     cache: Dict[str, Any],
     real_len: jax.Array,       # int32: real (unpadded) suffix length
     pdrop_params=None,
+    kv_bucket: Optional[int] = None,  # STATIC cap on attended KV rows;
+                                      # caller guarantees length + S <= it
 ):
     """Run a suffix on top of a filled cache; return (last_logits, cache).
 
@@ -382,7 +452,7 @@ def nano_forward_continue(
         elif block_type == "attention":
             out, lc = _attention_continue(
                 lp["mixer"], cfg, normed, cache["layers"][idx],
-                length, valid_from, kv_valid_mask)
+                length, valid_from, kv_valid_mask, kv_bucket=kv_bucket)
         else:
             out = mlp_mixer_forward(lp["mixer"], cfg, normed)
             lc = {}

@@ -213,8 +213,13 @@ def _block_attn_lse(q, k, v, *, causal, valid_kv=None, valid_q=None,
     if scale is None:
         scale = 1.0 / _math.sqrt(D)
 
+    # flash path: causal requires aligned q/kv origins (Lq == Lk); the
+    # non-causal form also serves rectangular Lq != Lk blocks (the
+    # prefix-cache suffix attention, models/prefix_cache.py)
     if (jax.default_backend() in ("tpu", "axon")
-            and Lq == Lk and Lq >= 512 and Lq % 256 == 0 and D % 128 == 0):
+            and (Lq == Lk or not causal)
+            and min(Lq, Lk) >= 256 and Lq % 256 == 0 and Lk % 256 == 0
+            and D % 128 == 0):
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 SegmentIds,
@@ -239,13 +244,14 @@ def _block_attn_lse(q, k, v, *, causal, valid_kv=None, valid_q=None,
             rep = Hq // Hkv
             kk, vv = (jnp.repeat(k, rep, axis=2),
                       jnp.repeat(v, rep, axis=2)) if rep > 1 else (k, v)
-            blk = 512 if Lq % 512 == 0 else 256
+            blk_q = 512 if Lq % 512 == 0 else 256
+            blk_k = 512 if Lk % 512 == 0 else 256
             o, l, m = _flash_attention_impl(
                 jnp.transpose(q, (0, 2, 1, 3)),
                 jnp.transpose(kk, (0, 2, 1, 3)),
                 jnp.transpose(vv, (0, 2, 1, 3)),
                 None, segs, True, causal, scale,
-                1, blk, blk, blk, False,
+                1, blk_q, blk_k, blk_k, False,
             )
             return (jnp.transpose(o, (0, 2, 1, 3)).astype(q.dtype),
                     l.astype(jnp.float32), m.astype(jnp.float32))
