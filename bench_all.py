@@ -205,6 +205,74 @@ def bench_serving(results):
     })
 
 
+def bench_serving_pdrop(results):
+    """pdrop serving at full 52L depth (VERDICT r3 ask #5): 8 vision
+    requests at a fixed 64-frame budget run the bucketed pdrop prefill
+    (ratio schedule shaped like the reference's USAGE example) with the
+    compacted state + TransV ca_kv decoding in slots. The reference's
+    vLLM path cannot apply pdrop at all (vllm_infer.py feeds prompt
+    embeds; pdrop lives inside the HF forward)."""
+    import os
+    import time
+
+    import numpy as np
+
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig, VLMConfig, tiny_vit_config
+    from timeviper_tpu.models.vlm import VLMArch, init_vlm_params
+    from timeviper_tpu.serving.engine import Request, ServingEngine
+    from timeviper_tpu.train.quantize import quantize_params_int8
+
+    full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
+    n_layers = int(os.environ.get("BENCH_SERVING_LAYERS_PDROP", "52"))
+    lcfg = NanoConfig(
+        num_hidden_layers=n_layers,
+        hybrid_override_pattern=(full * 2)[:n_layers],
+        vocab_size=2048,
+        use_pdrop=True, pdrop_type="uni_14_0.8-attn_21_0.6",
+        merge_module="CrossAttention")
+    arch = VLMArch(vlm=VLMConfig(arch_specifier="tome_mlp-16"),
+                   vision=tiny_vit_config(image_size=112),
+                   llm=lcfg, llm_family="nano")
+    params = _jax.jit(
+        lambda k: quantize_params_int8(init_vlm_params(k, arch,
+                                                       dtype=jnp.bfloat16))
+    )(_jax.random.PRNGKey(0))
+    frames = 64
+    img = 2047
+    rng = np.random.default_rng(0)
+
+    def reqs(base):
+        out = []
+        for i in range(8):
+            text = rng.integers(3, 2000, (24,)).tolist()
+            ids = text[:4] + [img] * frames + text[4:]
+            px = rng.random((frames, 112, 112, 3)).astype(np.float32)
+            out.append(Request(request_id=base + i, input_ids=ids,
+                               pixels=px, image_token_id=img,
+                               max_new_tokens=16))
+        return out
+
+    eng = ServingEngine(params, arch, terminator_ids=[-2], num_slots=8,
+                        max_len=4096, max_new_tokens=16,
+                        pdrop_frames=frames)
+    eng.run(reqs(1000))  # warm every executable
+    t0 = time.perf_counter()
+    done = eng.run(reqs(0))
+    dt = time.perf_counter() - t0
+    assert all(r.error is None for r in done), [r.error for r in done]
+    out_toks = sum(len(r.output_ids) for r in done)
+    results.append({
+        "metric": f"serving_pdrop_{n_layers}L_int8_64frame_8req",
+        "value": round(len(done) / dt, 2), "unit": "requests/sec",
+        "output_tokens_per_sec": round(out_toks / dt, 1),
+        "visual_tokens_per_req": frames * 16, "new_tokens_per_req": 16,
+        "pdrop": lcfg.pdrop_type,
+    })
+
+
 def bench_serving_short(results):
     """Chat-length serving: 32 requests of 48-120 prompt tokens, 16 new
     tokens, 8 slots. Short prompts underfill the MXU row dim one-by-one;
@@ -833,8 +901,9 @@ def main():
                     {**r, "commit": commit, "ts": stamp}) + "\n")
         return
     benches = (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
-               bench_serving, bench_serving_short, bench_chunked_prefill,
-               bench_prefix_cache, bench_train, bench_qlora)
+               bench_serving, bench_serving_short, bench_serving_pdrop,
+               bench_chunked_prefill, bench_prefix_cache, bench_train,
+               bench_qlora)
     if args.only:
         benches = tuple(f for f in benches
                         if f.__name__.endswith(args.only))

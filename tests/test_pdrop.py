@@ -408,3 +408,45 @@ def test_transv_decode_ca_kv_qwen2():
     assert np.isfinite(np.asarray(lg_m)).all()
     assert not np.allclose(np.asarray(lg_m), np.asarray(lg_p))
     assert "ca_kv" in c2
+
+
+def test_pdrop_decode_with_attention_before_stage():
+    """Decode after a compacting pdrop prefill must match teacher forcing
+    when an attention layer PRECEDES the drop stage (the 9B layout:
+    attention at layer 8, pdrop at 14+). That layer's cache holds the
+    pre-drop rows; decode must append/mask at the per-layer kv_len, not
+    the post-drop global length (regression: it used to overwrite a live
+    pre-drop KV row and mask the tail)."""
+    from timeviper_tpu.models.nano import nano_decode_step
+    from timeviper_tpu.models.pdrop import make_pdrop_spec
+
+    cfg = tiny_nano_config(
+        num_hidden_layers=6, hybrid_override_pattern="M-*M-*",
+        use_pdrop=True, pdrop_type="uni_4_0.5")
+    params = init_nano_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    L0, NV, VS = 24, 8, 4
+    emb = jax.random.normal(
+        jax.random.PRNGKey(1), (1, L0, cfg.hidden_size), jnp.float32)
+
+    def spec_for(ts):
+        return make_pdrop_spec([(VS, NV, ts)], cfg.pdrop_stages, [L0 - 1])
+
+    out = nano_forward(params, cfg, inputs_embeds=emb,
+                       pdrop_spec=spec_for(L0 - VS - NV),
+                       fill_cache=True, cache_max_len=40, logits_to_keep=1)
+    cache = out["cache"]
+    toks = [7, 11, 13]
+    emb_all = emb
+    for t, tok in enumerate(toks):
+        tok_a = jnp.asarray([[tok]], jnp.int32)
+        emb_all = jnp.concatenate(
+            [emb_all, jnp.take(params["embeddings"], tok_a[0], axis=0)[None]],
+            axis=1)
+        full = nano_forward(params, cfg, inputs_embeds=emb_all,
+                            pdrop_spec=spec_for(L0 - VS - NV + t + 1),
+                            logits_to_keep=1)
+        lg, cache = nano_decode_step(params, cfg, tok_a, cache)
+        np.testing.assert_allclose(
+            np.asarray(lg).reshape(-1),
+            np.asarray(full["logits"][:, -1]).reshape(-1),
+            rtol=2e-4, atol=2e-4, err_msg=f"step {t}")

@@ -267,3 +267,62 @@ def test_continuous_batching_qwen2_family():
             row = logits[len(p) - 1 + t]
             assert row[tok] >= row.max() - 5e-2, (
                 t, tok, int(row.argmax()), float(row.max() - row[tok]))
+
+
+def test_engine_pdrop_requests_match_offline_generator():
+    """ServingEngine(pdrop_frames=...): vision requests run the bucketed
+    pdrop prefill (compacted cache + per-layer kv_len + TransV ca_kv) and
+    decode re-merges the dropped rows per slot — tokens must match the
+    offline pdrop Generator greedily, with a text-only request sharing
+    the batch (its zeroed ca_kv rows must be inert). The reference's vLLM
+    path cannot serve pdrop at all (SURVEY.md #27). Pattern places an
+    attention layer BEFORE the drop stage (the 9B layout) so the
+    pre-drop-rows decode path is exercised in slots."""
+    from timeviper_tpu.models.generate import Generator
+
+    llm = tiny_nano_config(
+        num_hidden_layers=6, hybrid_override_pattern="M-*M-*",
+        use_pdrop=True, pdrop_type="uni_3_0.5",
+        merge_module="CrossAttention",
+    )
+    arch = VLMArch(
+        vlm=VLMConfig(arch_specifier="tome_mlp-2"),
+        vision=tiny_vit_config(),
+        llm=llm,
+        llm_family="nano",
+    )
+    params = init_vlm_params(jax.random.PRNGKey(0), arch, dtype=jnp.float32)
+    img = 500
+    rng = np.random.default_rng(0)
+    frames = 2
+    pixels = rng.random(
+        (frames, arch.vision.image_size, arch.vision.image_size, 3)
+    ).astype(np.float32)
+    vid_prompt = [5, img, img, 9, 10, 11]
+
+    from timeviper_tpu.ops.sampling import SamplingParams
+
+    greedy = SamplingParams(temperature=0.0)
+    gen = Generator(params, arch, terminator_ids=[2], pad_token_id=0,
+                    max_new_tokens=5, cache_dtype=jnp.float32,
+                    sampling=greedy)
+    want = gen.generate(vid_prompt, pixels=pixels, image_token_id=img,
+                        use_pdrop=True)
+
+    eng = ServingEngine(
+        params, arch, terminator_ids=[2], num_slots=2, max_len=256,
+        max_new_tokens=5, cache_dtype=jnp.float32, steps_per_sync=2,
+        sampling=greedy, pdrop_frames=frames,
+    )
+    reqs = [
+        Request(request_id=0, input_ids=vid_prompt, pixels=pixels,
+                image_token_id=img, max_new_tokens=5),
+        Request(request_id=1, input_ids=[6, 7, 8, 9], max_new_tokens=5),
+    ]
+    out = eng.run(reqs)
+    assert all(r.done and r.error is None for r in out), \
+        [(r.request_id, r.error) for r in out]
+    assert out[0].output_ids == list(want.token_ids), (
+        out[0].output_ids, list(want.token_ids))
+    # the text-only co-tenant must be teacher-forced valid
+    _check_teacher_forced(params, arch, [reqs[1].input_ids], [out[1]])

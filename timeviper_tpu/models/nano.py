@@ -392,29 +392,55 @@ def attention_mixer_decode(
     `kv_valid_mask` (max_len,) additionally masks slots the prefill marked
     invalid — the masked sharded-pdrop prefill keeps dropped tokens in
     their cache slots instead of compacting (parallel/seq_parallel.py),
-    so decode must skip them."""
+    so decode must skip them.
+
+    After a COMPACTING pdrop prefill, layers differ: an attention layer
+    that ran BEFORE a drop stage cached the pre-drop rows (the reference's
+    per-layer HybridCache has the same property, and its decode attends
+    each layer's full cache, modeling_nano.py:1162-1165). Such caches
+    carry a per-layer `kv_len` — the row count at that layer — and decode
+    writes/masks at it instead of the global post-drop `length` (which
+    would overwrite a live pre-drop row). A per-layer `kv_valid` plays
+    the analogous role for the masked (non-compacting) sharded prefill."""
     B = x.shape[0]
     Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     q = _apply_linear(p["q_proj"], x).reshape(B, 1, Hq, hd)
     k_new = _apply_linear(p["k_proj"], x).reshape(B, 1, Hkv, hd)
     v_new = _apply_linear(p["v_proj"], x).reshape(B, 1, Hkv, hd)
-    zero = jnp.zeros((), length.dtype) if hasattr(length, "dtype") else 0
+    kv_len_in = cache_layer.get("kv_len")
+    # engine decode wraps slot caches with a leading batch dim; keep the
+    # stored shape on return, compute with the scalar
+    kv_len = (length if kv_len_in is None
+              else jnp.asarray(kv_len_in).reshape(()))
+    layer_valid = cache_layer.get("kv_valid")
+    if layer_valid is not None and layer_valid.ndim > 1:
+        layer_valid = layer_valid.reshape(layer_valid.shape[-1])
+    zero = jnp.zeros((), kv_len.dtype) if hasattr(kv_len, "dtype") else 0
     k = jax.lax.dynamic_update_slice(
         cache_layer["k"], k_new.astype(cache_layer["k"].dtype),
-        (zero, length, zero, zero),
+        (zero, kv_len, zero, zero),
     )
     v = jax.lax.dynamic_update_slice(
         cache_layer["v"], v_new.astype(cache_layer["v"].dtype),
-        (zero, length, zero, zero),
+        (zero, kv_len, zero, zero),
     )
     max_len = k.shape[1]
     slots = jnp.arange(max_len)[None, :]
-    kv_valid = (slots <= length) & (slots >= valid_from)
-    if kv_valid_mask is not None:
+    kv_valid = (slots <= kv_len) & (slots >= valid_from)
+    if layer_valid is not None:
+        kv_valid = kv_valid & layer_valid.at[kv_len].set(True)[None, :]
+    elif kv_valid_mask is not None:
         kv_valid = kv_valid & kv_valid_mask[None, :]
     out = attention(q, k, v, kv_valid[:, None, :])
     out = _apply_linear(p["o_proj"], out.reshape(B, 1, Hq * hd))
-    return out, {"k": k, "v": v}
+    lc = {"k": k, "v": v}
+    if kv_len_in is not None:
+        lc["kv_len"] = kv_len_in + 1
+    if layer_valid is not None:
+        lc["kv_valid"] = jnp.reshape(
+            layer_valid.at[kv_len].set(True),
+            cache_layer["kv_valid"].shape)
+    return out, lc
 
 
 def mlp_mixer_forward(p: Dict[str, Any], cfg: NanoConfig, x: jax.Array) -> jax.Array:
@@ -524,6 +550,12 @@ def nano_forward(
         if remat and not fill_cache:
             fwd = jax.checkpoint(fwd)
         hidden, layer_cache = fwd(layer_params, hidden, seq_idx, attn_mask)
+        if (fill_cache and pdrop_spec is not None
+                and block_type == "attention" and layer_cache is not None):
+            # compacting pdrop: this layer's KV row count is ITS length,
+            # not the post-drop global one — decode writes/masks per layer
+            # (see attention_mixer_decode)
+            layer_cache["kv_len"] = jnp.asarray(hidden.shape[1], jnp.int32)
         new_layers.append(layer_cache if layer_cache is not None else {})
 
     hidden = rms_norm(hidden, params["norm_f"]["weight"],

@@ -29,6 +29,14 @@ from timeviper_tpu.config import PdropStage
 from timeviper_tpu.ops.attention import cross_attention
 
 
+def _proj(pp, x):
+    # the shared linear apply: handles plain, int8-quantized (kernel_q),
+    # and LoRA leaves — pdrop/TransV must run on int8 serving params
+    from timeviper_tpu.models.nano import _apply_linear
+
+    return _apply_linear(pp, x)
+
+
 @dataclass(frozen=True)
 class PdropSampleSpec:
     """Static layout of one (possibly packed) sample at the CURRENT stage."""
@@ -95,11 +103,7 @@ def _rank_scores_attn(
     Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     Ls = h.shape[0]
 
-    def proj(p, x):
-        y = x @ p["kernel"].astype(x.dtype)
-        if p.get("bias") is not None:
-            y = y + p["bias"].astype(y.dtype)
-        return y
+    proj = _proj
 
     qh = proj(attn_params["q_proj"], h[None, query_pos])  # (1, Hq*hd)
     k = proj(attn_params["k_proj"], h)  # (Ls, Hkv*hd)
@@ -138,11 +142,7 @@ def _merge_dropped(
     p = merge_stage_params["cross_attn"]
     Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    def proj(pp, x):
-        y = x @ pp["kernel"].astype(x.dtype)
-        if pp.get("bias") is not None:
-            y = y + pp["bias"].astype(y.dtype)
-        return y
+    proj = _proj
 
     T = text_feats.shape[0]
     Nd = dropped_feats.shape[0]
@@ -162,11 +162,7 @@ def _ca_kv(dropped_feats: jax.Array, merge_stage_params, cfg):
     p = merge_stage_params["cross_attn"]
     Hkv, hd = cfg.num_key_value_heads, cfg.head_dim
 
-    def proj(pp, x):
-        y = x @ pp["kernel"].astype(x.dtype)
-        if pp.get("bias") is not None:
-            y = y + pp["bias"].astype(y.dtype)
-        return y
+    proj = _proj
 
     Nd = dropped_feats.shape[0]
     return {"k": proj(p["k_proj"], dropped_feats).reshape(Nd, Hkv, hd),
@@ -182,11 +178,7 @@ def merge_dropped_cached(hidden: jax.Array, ca_kv, merge_stage_params, cfg):
     Hq, hd = cfg.num_attention_heads, cfg.head_dim
     B, S = hidden.shape[0], hidden.shape[1]
 
-    def proj(pp, x):
-        y = x @ pp["kernel"].astype(x.dtype)
-        if pp.get("bias") is not None:
-            y = y + pp["bias"].astype(y.dtype)
-        return y
+    proj = _proj
 
     q = proj(p["q_proj"], hidden).reshape(B, S, Hq, hd)
     k = jnp.broadcast_to(ca_kv["k"][None].astype(hidden.dtype),
@@ -429,3 +421,20 @@ def init_merge_modules(key, cfg, dtype=jnp.bfloat16):
             "alpha": jnp.zeros((), jnp.float32),
         })
     return mods
+
+
+def pdrop_drop_counts(cfg, num_visual: int) -> List[int]:
+    """Static per-stage dropped-token counts for `num_visual` original
+    visual tokens — the same keep arithmetic as `_apply_stage_dynamic`
+    (keep_i = min(int(num_visual · ratio_{i+1}), current); reference
+    modeling_nano.py:1789-1802 cumulative-ratio semantics). Serving uses
+    this to size slot-uniform ca_kv buffers and track post-drop lengths
+    host-side."""
+    ratios = (1.0,) + tuple(s.ratio for s in cfg.pdrop_stages)
+    cur = num_visual
+    drops: List[int] = []
+    for i, _s in enumerate(cfg.pdrop_stages):
+        keep = min(int(num_visual * ratios[i + 1]), cur)
+        drops.append(cur - keep)
+        cur = keep
+    return drops

@@ -281,6 +281,7 @@ def _attention_continue(
     valid_from: jax.Array,
     kv_valid_mask: Optional[jax.Array],
     kv_bucket: Optional[int] = None,
+    real_len: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     B, S, _ = x.shape
     Hq, Hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -288,6 +289,18 @@ def _attention_continue(
     q = _apply_linear(p["q_proj"], x).reshape(B, S, Hq, hd)
     k_new = _apply_linear(p["k_proj"], x).reshape(B, S, Hkv, hd)
     v_new = _apply_linear(p["v_proj"], x).reshape(B, S, Hkv, hd)
+    # per-layer row count/validity after a pdrop prefill (a pre-stage
+    # layer's cache holds MORE rows than the global post-drop length —
+    # see attention_mixer_decode's kv_len note)
+    length = cache_layer.get("kv_len", length)
+    layer_valid = cache_layer.get("kv_valid")
+    rl = S if real_len is None else real_len
+    if layer_valid is not None:
+        ext = (jnp.arange(layer_valid.shape[0]) >= length) & (
+            jnp.arange(layer_valid.shape[0]) < length + rl)
+        layer_valid = layer_valid | ext  # real suffix rows this call writes
+        kv_valid_mask = (layer_valid if kv_valid_mask is None
+                         else kv_valid_mask & layer_valid)
     zero = jnp.zeros((), length.dtype)
     k = jax.lax.dynamic_update_slice(
         cache_layer["k"], k_new.astype(cache_layer["k"].dtype),
@@ -307,7 +320,12 @@ def _attention_continue(
     out = attention_suffix(q, ka, va, length, valid_from,
                            kv_valid_mask=mask_a)
     out = _apply_linear(p["o_proj"], out.reshape(B, S, Hq * hd))
-    return out, {"k": k, "v": v}
+    lc = {"k": k, "v": v}
+    if "kv_len" in cache_layer:
+        lc["kv_len"] = length + rl
+    if "kv_valid" in cache_layer:
+        lc["kv_valid"] = layer_valid
+    return out, lc
 
 
 def qwen2_forward_continue(
@@ -452,7 +470,8 @@ def nano_forward_continue(
         elif block_type == "attention":
             out, lc = _attention_continue(
                 lp["mixer"], cfg, normed, cache["layers"][idx],
-                length, valid_from, kv_valid_mask, kv_bucket=kv_bucket)
+                length, valid_from, kv_valid_mask, kv_bucket=kv_bucket,
+                real_len=real_len)
         else:
             out = mlp_mixer_forward(lp["mixer"], cfg, normed)
             lc = {}

@@ -807,6 +807,13 @@ def nano_prefill_seq_parallel(
                     layer_cache["v"] = jnp.pad(
                         vg_, ((0, 0), (0, pad), (0, 0), (0, 0))
                     ).astype(cache_dtype)
+                    if use_pdrop:
+                        # THIS layer's validity (pdrop evolves vg between
+                        # layers): a pre-stage layer keeps later-dropped
+                        # rows attendable at decode, like the reference's
+                        # per-layer cache (modeling_nano.py:1162-1165)
+                        layer_cache["kv_valid"] = jnp.pad(
+                            vg, (0, cache_max_len - L_global))
                 else:
                     # pure prefill: ring attention — one KV block in
                     # flight instead of the full gathered KV

@@ -15,9 +15,16 @@ exploits that with **slot-based continuous batching**:
 * Decode steps run ALL active slots in one jitted batched step; finished
   slots are freed and refilled from the queue (continuous batching).
 * Like the reference's vLLM path, vision encoding + fusion happens outside
-  the engine (prompt embeddings in, vllm_infer.py:118-190), and — also like
-  the vLLM path — pdrop is not applied (it lives inside the HF-model
-  forward in the reference; use the offline Generator for pdrop eval).
+  the engine (prompt embeddings in, vllm_infer.py:118-190).
+* Unlike the reference's vLLM path (which cannot apply pdrop at all —
+  it lives inside the HF-model forward), this engine serves pdrop
+  requests when constructed with `pdrop_frames`: vision requests with
+  exactly that frame budget run the Generator's bucketed pdrop prefill,
+  and the post-drop state inserts into a slot. pdrop geometry is static
+  (fixed ratios x fixed frame budget), so the batched cache carries
+  slot-uniform extras: per-attention-layer `kv_len` (a pre-stage layer's
+  cache keeps its pre-drop rows — see models/nano.attention_mixer_decode)
+  and per-stage TransV `ca_kv` rows that decode re-merges.
 
 All shapes are static: (num_slots, max_len) caches + one compiled decode
 step regardless of the request mix.
@@ -61,6 +68,8 @@ def _tree_insert(batched, single, slot):
     is ~80 separate dispatches, and through the tunnel's ~30 ms/dispatch
     latency a single insert costs seconds."""
     def ins(b, s):
+        if s.ndim == b.ndim - 1:  # scalar-per-slot leaves (kv_len, ca_kv)
+            s = s[None]
         return jax.lax.dynamic_update_slice_in_dim(
             b, s.astype(b.dtype), slot, axis=0
         )
@@ -85,6 +94,7 @@ class ServingEngine:
         mesh=None,
         batch_prefill: bool = True,
         prefill_chunk_tokens: Optional[int] = None,
+        pdrop_frames: Optional[int] = None,
     ) -> None:
         self.params = params
         self.arch = arch
@@ -118,6 +128,46 @@ class ServingEngine:
             sampling=sampling, cache_dtype=cache_dtype, mesh=mesh,
         )
         self.cache = init_cache(arch, num_slots, max_len, cache_dtype)
+        # pdrop serving (see module doc): static per-stage drop counts at
+        # the configured frame budget size the slot-uniform cache extras
+        self._pdrop: Optional[Dict[str, Any]] = None
+        if pdrop_frames is not None:
+            from timeviper_tpu.models.pdrop import pdrop_drop_counts
+
+            llm = arch.llm
+            assert getattr(llm, "use_pdrop", False) and llm.pdrop_stages, \
+                "pdrop_frames requires a pdrop-configured llm"
+            assert arch.llm_family == "nano", \
+                "pdrop serving: nano family only"
+            assert not getattr(llm, "attention_bias", False), (
+                "pdrop serving relies on zero ca_kv rows being exactly "
+                "inert for non-pdrop slots (no attention biases)")
+            nv = pdrop_frames * arch.tokens_per_frame
+            drops = pdrop_drop_counts(llm, nv)
+            merge = params.get("merge_modules")
+            Hkv, hd = llm.num_key_value_heads, llm.head_dim
+            ca = []
+            for si, _stage in enumerate(llm.pdrop_stages):
+                has = (merge is not None and si < len(merge)
+                       and merge[si] is not None and drops[si] > 0)
+                ca.append({
+                    "k": jnp.zeros((num_slots, drops[si], Hkv, hd),
+                                   cache_dtype),
+                    "v": jnp.zeros((num_slots, drops[si], Hkv, hd),
+                                   cache_dtype),
+                } if has else {})
+            kinds = tuple(llm.layers_block_type)
+            for idx, bt in enumerate(kinds):
+                if bt == "attention":
+                    self.cache["layers"][idx]["kv_len"] = jnp.zeros(
+                        (num_slots,), jnp.int32)
+            self._pdrop = {
+                "frames": pdrop_frames, "num_visual": nv,
+                "drops": drops, "total_drop": sum(drops),
+                "has_ca": any(len(c) for c in ca),
+            }
+            if self._pdrop["has_ca"]:
+                self.cache["ca_kv"] = ca
         # per-slot host state
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.slot_lengths = np.zeros((num_slots,), np.int32)
@@ -243,6 +293,8 @@ class ServingEngine:
         if req.pixels is not None:
             visual = self._gen.encode_frames(req.pixels)
         # reuse the generator's bucketed prefill: returns (logits, cache)
+        if self._pdrop is not None and req.pixels is not None:
+            return self._dispatch_prefill_pdrop(req, slot, visual)
         bucket, pad, ids_arr, gather_idx, seq_idx = self._prefill_plan(req)
         if visual is None:
             visual = jnp.zeros(
@@ -268,6 +320,43 @@ class ServingEngine:
             logits, jax.random.PRNGKey(req.request_id), self.sampling)
         return {"req": req, "slot": slot, "cache1": cache1,
                 "first_tok": first_tok, "bucket": bucket, "pad": pad}
+
+    def _dispatch_prefill_pdrop(self, req: Request, slot: int, visual):
+        """Bucketed pdrop prefill for a vision request at the engine's
+        configured frame budget; the post-drop compacted state (+ per-layer
+        kv_len, + TransV ca_kv) inserts into a slot. The reference's vLLM
+        path cannot do this at all (pdrop lives inside the HF forward)."""
+        pd = self._pdrop
+        plan, bucket, pad, ids_arr, gather_idx, seq_idx = \
+            self._gen._plan_prompt(list(req.input_ids), req.image_token_id)
+        if plan.num_visual != pd["num_visual"]:
+            raise ValueError(
+                f"request {req.request_id}: pdrop engine is compiled for"
+                f" {pd['num_visual']} visual tokens ({pd['frames']}"
+                f" frames); request has {plan.num_visual}")
+        if len(plan.sample_layouts) != 1:
+            raise ValueError("pdrop serving is single-sample per request")
+        post_len = bucket - pd["total_drop"]
+        if bucket + req.max_new_tokens > self.max_len:
+            # decode appends attention KV at the PRE-drop kv_len for
+            # pre-stage layers, so capacity is bounded by bucket, not the
+            # post-drop length
+            raise ValueError(
+                f"request {req.request_id}: bucket {bucket} + "
+                f"max_new_tokens {req.max_new_tokens} exceeds engine "
+                f"max_len {self.max_len}")
+        vs, _, _ = plan.sample_layouts[0]
+        prefill = self._gen._get_prefill_pdrop(
+            bucket, self.max_len, plan.num_visual)
+        logits, cache1 = prefill(
+            self.params, jnp.asarray(ids_arr), jnp.asarray(gather_idx),
+            jnp.asarray(seq_idx), visual, pad,
+            jnp.asarray(pad + vs, jnp.int32),
+            jnp.asarray(bucket - 1, jnp.int32))
+        first_tok = sample_token(
+            logits, jax.random.PRNGKey(req.request_id), self.sampling)
+        return {"req": req, "slot": slot, "cache1": cache1,
+                "first_tok": first_tok, "bucket": post_len, "pad": pad}
 
     def _prefill_plan(self, req: Request):
         """Host-side bucket geometry for one request (the Generator's
@@ -386,10 +475,12 @@ class ServingEngine:
         def make():
             def ins(batched_layers, vmapped_layers, row, slot):
                 def one(b, s):
+                    r = jax.lax.dynamic_index_in_dim(
+                        s, row, axis=0, keepdims=False).astype(b.dtype)
+                    if r.ndim == b.ndim - 1:  # scalar-per-slot (kv_len)
+                        r = r[None]
                     return jax.lax.dynamic_update_slice_in_dim(
-                        b, jax.lax.dynamic_index_in_dim(
-                            s, row, axis=0, keepdims=False).astype(b.dtype),
-                        slot, axis=0)
+                        b, r, slot, axis=0)
 
                 return [
                     jax.tree_util.tree_map(lambda b, s: one(b, s), bl, vl)
@@ -409,6 +500,8 @@ class ServingEngine:
         device sync needed."""
         slot = pending["slot"]
         cache1 = pending["cache1"]
+        if self._pdrop is not None:
+            cache1 = self._pdrop_normalize_single(cache1, pending)
         if "row" in pending:
             ins = self._get_insert_row()
             layers = ins(self.cache["layers"], cache1["layers"],
@@ -418,52 +511,88 @@ class ServingEngine:
             ins = self._get_insert()
             layers = ins(self.cache["layers"], cache1["layers"],
                          jnp.asarray(slot, jnp.int32))
-        self.cache = {
+        new_cache = {
             "layers": layers,
             "length": self.cache["length"],
             "valid_from": self.cache["valid_from"],
         }
+        if self._pdrop is not None and self._pdrop["has_ca"]:
+            # pdrop prefills carry real ca_kv rows; every other insert
+            # writes zeros (stale rows from a previous pdrop occupant
+            # must be neutralized — zero K/V cross-attn is exactly inert)
+            ca1 = cache1.get("ca_kv") or jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape[1:], x.dtype),
+                self.cache["ca_kv"])
+            new_cache["ca_kv"] = self._get_insert()(
+                self.cache["ca_kv"], ca1, jnp.asarray(slot, jnp.int32))
+        self.cache = new_cache
         self.slot_req[slot] = pending["req"]
         self.slot_lengths[slot] = pending["bucket"]
         self.slot_valid_from[slot] = pending["pad"]
         # placeholder until the async first token is synced this round
         self._last_tokens[slot] = 0
 
+    def _pdrop_normalize_single(self, cache1, pending):
+        """Make any prefill's cache structurally match the pdrop-enabled
+        batched cache: attention layers missing a per-layer `kv_len` get
+        their global length (bucket geometry; (B,) for vmapped rows)."""
+        kinds = tuple(self.arch.llm.layers_block_type)
+        layers = list(cache1["layers"])
+        length = pending["bucket"]
+        for idx, bt in enumerate(kinds):
+            if bt == "attention" and "kv_len" not in layers[idx]:
+                if "row" in pending:
+                    leaf = layers[idx]["k"]
+                    fill = jnp.full((leaf.shape[0],), length, jnp.int32)
+                else:
+                    fill = jnp.asarray(length, jnp.int32)
+                layers[idx] = {**layers[idx], "kv_len": fill}
+        return {**cache1, "layers": layers}
+
     def _get_decode(self):
         from timeviper_tpu.models.generate import cached_jit
 
         key = ("serve_decode", repr(self.arch), self.steps_per_sync,
-               repr(self.sampling))
+               repr(self.sampling),
+               None if self._pdrop is None else self._pdrop["frames"])
 
         def make():
             arch = self.arch
             n_steps = self.steps_per_sync
+            has_ca = self._pdrop is not None and self._pdrop["has_ca"]
 
-            def one_step(params, tokens, layers_all, lengths, valid_from, key):
+            def one_step(params, tokens, layers_all, ca_all, lengths,
+                         valid_from, key):
                 # per-slot lengths: override the scalar cache length with a
                 # vector — decode_step uses cache["length"] for positions and
                 # KV writes, so run with per-slot state via vmap
-                def one(p, tok, layers, length, vf):
+                def one(p, tok, layers, ca, length, vf):
                     # vmap strips the slot axis; decode_step expects batch=1
+                    # (kv_len scalars survive the [None]: the decode mixer
+                    # reshapes them, models/nano.attention_mixer_decode)
                     layers = jax.tree_util.tree_map(lambda x: x[None], layers)
                     c = {"layers": layers, "length": length,
                          "valid_from": vf}
+                    if ca is not None:
+                        c["ca_kv"] = ca  # per-slot TransV rows (pdrop)
                     logits, c2 = decode_step(p, arch, tok[None, None], c)
                     new_layers = jax.tree_util.tree_map(
                         lambda x: x[0], c2["layers"])
                     return logits[0], new_layers
 
                 logits, new_layers = jax.vmap(
-                    one, in_axes=(None, 0, 0, 0, 0))(
-                    params, tokens, layers_all, lengths, valid_from)
+                    one, in_axes=(None, 0, 0, 0, 0, 0))(
+                    params, tokens, layers_all, ca_all, lengths, valid_from)
                 return sample_token(logits, key, self.sampling), new_layers
 
             def step(params, tokens, cache, lengths, valid_from, key):
+                ca_all = cache.get("ca_kv") if has_ca else None
+
                 def body(i, carry):
                     toks, layers, lens, out = carry
                     sub = jax.random.fold_in(key, i)
                     nxt, layers = one_step(
-                        params, toks, layers, lens, valid_from, sub)
+                        params, toks, layers, ca_all, lens, valid_from, sub)
                     out = jax.lax.dynamic_update_index_in_dim(
                         out, nxt, i, axis=1)
                     return (nxt, layers, lens + 1, out)
@@ -472,9 +601,12 @@ class ServingEngine:
                 _, layers, _, out = jax.lax.fori_loop(
                     0, n_steps, body,
                     (tokens, cache["layers"], lengths, out0))
-                return out, {"layers": layers,
+                new_cache = {"layers": layers,
                              "length": cache["length"],
                              "valid_from": cache["valid_from"]}
+                if ca_all is not None:
+                    new_cache["ca_kv"] = ca_all
+                return out, new_cache
 
             return step
 
