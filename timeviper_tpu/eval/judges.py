@@ -37,6 +37,34 @@ def egoschema_submission(
     return payload
 
 
+EGOSCHEMA_API_URL = "https://validation-server.onrender.com/api/upload/"
+
+
+def egoschema_upload(payload: Dict[str, int],
+                     api_url: str = EGOSCHEMA_API_URL) -> dict:
+    """POST the {video_id: answer_idx} payload to the EgoSchema validation
+    server (reference eval_all.py:239-256). Run this wherever network
+    egress exists: `python -c "from timeviper_tpu.eval.judges import *;
+    egoschema_upload(json.load(open('egoschema_submission.json')))"`.
+    Returns the server's JSON (or an {"status": "error", ...} record)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        api_url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            text = resp.read().decode()
+        try:
+            return json.loads(text)
+        except ValueError:
+            return {"status": "success", "response_text": text}
+    except (urllib.error.URLError, OSError) as e:
+        return {"status": "error", "message": str(e),
+                "details": f"Failed to upload data to {api_url}"}
+
+
 VDC_JUDGE_PROMPT = (
     "You are an intelligent chatbot designed for evaluating the quality of "
     "generative outputs for video-based detailed captions. Your task is to "

@@ -27,9 +27,11 @@ def _linear(key, d_in, d_out, dtype):
 
 
 def _apply_linear(p, x):
-    return jnp.einsum("...i,io->...o", x, p["kernel"].astype(x.dtype)) + p[
-        "bias"
-    ].astype(x.dtype)
+    # shared apply: handles plain, int8-quantized (kernel_q), and LoRA
+    # leaves — int8 serving quantizes the projector MLP too
+    from timeviper_tpu.models.nano import _apply_linear as _shared
+
+    return _shared(p, x)
 
 
 def init_projector_params(

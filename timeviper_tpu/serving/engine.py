@@ -137,6 +137,10 @@ class ServingEngine:
             llm = arch.llm
             assert getattr(llm, "use_pdrop", False) and llm.pdrop_stages, \
                 "pdrop_frames requires a pdrop-configured llm"
+            assert all(s.layer < llm.num_hidden_layers
+                       for s in llm.pdrop_stages), (
+                "pdrop stage beyond the layer stack never fires but its "
+                "drop count would corrupt host-side length tracking")
             assert arch.llm_family == "nano", \
                 "pdrop serving: nano family only"
             assert not getattr(llm, "attention_bias", False), (
