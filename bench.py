@@ -14,14 +14,17 @@ Reports frames/sec over the whole pipeline plus the phase split. The
 prior headline (backbone-only prefill tokens/sec) remains available as
 BENCH_MODE=prefill.
 
-`vs_baseline` compares against an A100-80GB estimate for the same
-end-to-end workload: ~160 frames/s SigLIP encode (timm + flash-attn 2,
-bf16) and ~20k tok/s hybrid prefill (mamba-ssm chunked scan) give
-5000/160 + 80000/20000 ≈ 35.5 s ≈ 141 frames/s. No in-repo reference
-number exists (BASELINE.md); the estimate is derived from the reference
-stack's published kernel envelopes. v5e peak bf16 is 0.63x A100.
+`vs_baseline` divides by a roofline-derived A100-80GB estimate for the
+same end-to-end bf16 workload — 157 frames/s, the midpoint of a 40-55%
+MFU band over the derived per-phase FLOPs (642 GF/frame encode,
+~20 GF/token prefill; full arithmetic and the band in BASELINE.md).
+No in-repo or paper number exists; rounds 1-3 used 141 f/s, which
+assumed an impossible 20k tok/s A100 prefill (360 TF/s > peak) against
+a too-slow encode — the re-derivation nets out HARDER. v5e peak bf16 is
+0.63x A100; the int8 MXU (394 TOPS) is the edge that beats it.
 
 Env: BENCH_MODE (e2e|prefill), BENCH_FRAMES (5000), BENCH_CLIP (256),
+BENCH_STREAM (0; 1 = per-clip encode->prefill streaming),
 BENCH_STEPS (1 e2e / 3 prefill) + the prefill-mode knobs below.
 """
 
@@ -35,8 +38,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-A100_PREFILL_TOK_S = 20000.0
-A100_E2E_FRAMES_S = 141.0
+A100_PREFILL_TOK_S = 7000.0  # 45-55% MFU midpoint at ~20 GF/token
+A100_E2E_FRAMES_S = 157.0    # BASELINE.md "A100 baseline derivation"
 
 
 def _sync(arr):

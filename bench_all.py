@@ -231,7 +231,10 @@ def bench_serving_pdrop(results):
         num_hidden_layers=n_layers,
         hybrid_override_pattern=(full * 2)[:n_layers],
         vocab_size=2048,
-        use_pdrop=True, pdrop_type="uni_14_0.8-attn_21_0.6",
+        # attn-ranking stages must sit ON attention layers — this pattern
+        # places them at 7/18/29/40 (the reference's "attn_21" USAGE
+        # example targets qwen2's all-attention stack)
+        use_pdrop=True, pdrop_type="uni_14_0.8-attn_18_0.6",
         merge_module="CrossAttention")
     arch = VLMArch(vlm=VLMConfig(arch_specifier="tome_mlp-16"),
                    vision=tiny_vit_config(image_size=112),
