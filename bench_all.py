@@ -85,11 +85,22 @@ def bench_decode(results):
     full = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
     from timeviper_tpu.train.quantize import quantize_params_int8
 
+    from timeviper_tpu.models.nano import nano_forward
+    from timeviper_tpu.train.quantize import calibrate_act_scales
+
     cfg = NanoConfig(vocab_size=2048)  # FULL 52L, int8 weights
     params = jax.jit(
         lambda k: quantize_params_int8(
             init_nano_params(k, cfg, dtype=jnp.bfloat16))
     )(jax.random.PRNGKey(0))
+    # serving configuration: static calibrated activation scales so the
+    # decode matmuls run the int8 MXU (weight-only dequant: -8%)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 32, cfg.hidden_size), jnp.bfloat16)
+    params = calibrate_act_scales(
+        lambda p, e: nano_forward(p, cfg, inputs_embeds=e,
+                                  logits_to_keep=1)["logits"],
+        params, [emb])
     for B in (1, 8):
         cache = init_nano_cache(cfg, B, 4096, jnp.bfloat16)
 
@@ -545,6 +556,71 @@ def bench_train(results):
         del params, step
 
 
+def bench_offload(results):
+    """Host-offload (layer-streamed, zero3-offload analog) train step at
+    the FULL 9B layer width: one step of train/offload.StreamedTrainer on
+    a 3-layer M*- slice (f32 master + AdamW moments in host RAM, bf16
+    device compute, per-layer weight streaming + grad pull).
+
+    The attached chip rides a network tunnel whose measured transfer
+    bandwidth (~0.05 GB/s h2d, ~0.015 GB/s d2h vs >=10 GB/s PCIe on a
+    real TPU host) dominates the wall; the row reports the measured step
+    plus the transfer/compute split so the PCIe-host projection is
+    arithmetic, not a guess."""
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.models.nano import init_nano_params
+    from timeviper_tpu.train.offload import StreamedTrainer
+
+    cfg = NanoConfig(
+        num_hidden_layers=3, hybrid_override_pattern="M*-",
+        hidden_size=4096, intermediate_size=21504,
+        mamba_num_heads=128, vocab_size=2048,
+    )
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float32),
+        jax.device_get(init_nano_params(
+            jax.random.PRNGKey(0), cfg, dtype=jnp.float32)))
+    n_params = sum(v.size for v in jax.tree_util.tree_leaves(params))
+    rng = np.random.default_rng(0)
+    L = 1024
+    ids = rng.integers(3, 2000, (1, L + 1)).astype(np.int32)
+    tr = StreamedTrainer(cfg, params, lr=1e-5, compute_dtype=jnp.bfloat16)
+    tr.train_step(ids, ids)  # compile warm-up step
+    t0 = time.perf_counter()
+    loss = tr.train_step(ids, ids)
+    dt = time.perf_counter() - t0
+    # measured link bandwidth for the projection arithmetic
+    blob = np.ones((64, 1024, 1024), np.float32)  # 256 MB
+    t0 = time.perf_counter()
+    d = jax.device_put(blob)
+    d.block_until_ready()
+    h2d = blob.nbytes / (time.perf_counter() - t0) / 1e9
+    t0 = time.perf_counter()
+    _ = jax.device_get(d)
+    d2h = blob.nbytes / (time.perf_counter() - t0) / 1e9
+    bytes_moved = n_params * (2 * 2 + 4)  # bf16 in x2 (fwd+bwd), f32 out
+    xfer_s = n_params * 2 * 2 / (h2d * 1e9) + n_params * 4 / (d2h * 1e9)
+    pcie_xfer_s = bytes_moved / 16e9
+    proj = L / max(dt - xfer_s + pcie_xfer_s, 1e-6)
+    results.append({
+        "metric": f"offload_fwdbwd_3L_h4096_f32master_{L}tok",
+        "value": round(L / dt, 2), "unit": "tokens/sec",
+        "loss": round(loss, 3), "params_m": round(n_params / 1e6, 1),
+        "tunnel_h2d_gbs": round(h2d, 3), "tunnel_d2h_gbs": round(d2h, 3),
+        "step_s": round(dt, 1),
+        "projected_tokens_per_sec_pcie16": round(proj, 1),
+        "note": "layer-streamed full-parameter step (zero3-offload "
+                "analog); tunnel-attached chip, see bench docstring",
+    })
+
+
 def bench_qlora(results):
     """FULL-WIDTH 9B QLoRA train step on ONE 16 GB chip: int8 frozen base
     (~9 GB) + bf16 rank-16 LoRA factors, factor-only backward
@@ -589,10 +665,16 @@ def bench_qlora(results):
     step = jax.jit(jax.grad(loss_fn))
     try:
         dt = _timeit(lambda: _sync(next(iter(step(lora0).values()))))
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+        except Exception:  # noqa: BLE001
+            peak_gb = None
         results.append({
             "metric": f"qlora_fwdbwd_52L_h4096_int8base_r16_{L}tok",
             "value": round(L / dt, 1), "unit": "tokens/sec",
             "factor_params_m": round(n_factor / 1e6, 1),
+            "peak_hbm_gb": peak_gb,
             "note": "full 9B width+depth, int8 frozen base on one 16GB "
                     "chip; bf16 full fine-tune OOMs this chip",
         })

@@ -89,3 +89,72 @@ def test_bf16_inputs():
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
         rtol=0.1, atol=0.1)
+
+
+def test_fused_mamba_decode_matches_unfused():
+    """ops/decode_fused.py (interpret mode) vs the unfused decode ops at
+    the production group topology (per-group channel blocks 128-aligned)."""
+    import jax
+
+    from timeviper_tpu.config import NanoConfig
+    from timeviper_tpu.ops.conv import causal_conv1d_update
+    from timeviper_tpu.ops.decode_fused import fused_mamba_decode
+    from timeviper_tpu.ops.norms import gated_rms_norm
+    from timeviper_tpu.ops.ssd import ssd_update_step
+
+    cfg = NanoConfig(hidden_size=256, mamba_num_heads=16, mamba_head_dim=16,
+                     mamba_n_groups=2, ssm_state_size=128, vocab_size=64,
+                     num_hidden_layers=1, hybrid_override_pattern="M")
+    G, N, H, P = 2, 128, 16, 16
+    d_inner, gn, K = H * P, G * N, cfg.mamba_d_conv
+    k = jax.random.split(jax.random.PRNGKey(0), 12)
+    B = 2
+    xr = jax.random.normal(k[0], (B, d_inner), jnp.float32)
+    Br = jax.random.normal(k[1], (B, gn), jnp.float32)
+    Cr = jax.random.normal(k[2], (B, gn), jnp.float32)
+    dt = jax.random.normal(k[3], (B, H), jnp.float32) * 0.5
+    gate = jax.random.normal(k[4], (B, d_inner), jnp.float32)
+    cs = {"x": jax.random.normal(k[5], (B, d_inner, K), jnp.float32),
+          "B": jax.random.normal(k[6], (B, gn, K), jnp.float32),
+          "C": jax.random.normal(k[7], (B, gn, K), jnp.float32)}
+    ssm = jax.random.normal(k[8], (B, H, P, N), jnp.float32) * 0.3
+    params = {
+        "conv1d": {n: {"weight": jax.random.normal(kk, (c, K), jnp.float32)
+                       * 0.3,
+                       "bias": jnp.linspace(-0.1, 0.1, c)}
+                   for n, c, kk in (("x", d_inner, k[9]), ("B", gn, k[10]),
+                                    ("C", gn, k[11]))},
+        "A_log": jnp.linspace(-1.0, 0.5, H),
+        "D": jnp.linspace(0.5, 1.5, H),
+        "dt_bias": jnp.linspace(-0.2, 0.2, H),
+        "norm": {"weight": jnp.linspace(0.8, 1.2, d_inner)},
+    }
+
+    from timeviper_tpu.ops.ssd import _process_dt
+
+    cv = params["conv1d"]
+    B_, _ = causal_conv1d_update(Br, cs["B"], cv["B"]["weight"],
+                                 cv["B"]["bias"], "silu")
+    C_, _ = causal_conv1d_update(Cr, cs["C"], cv["C"]["weight"],
+                                 cv["C"]["bias"], "silu")
+    dtf = _process_dt(dt, params["dt_bias"], True, cfg.time_step_limit)
+    y_f, cs_f, ssm_f = fused_mamba_decode(
+        xr, B_, C_, dtf, gate, cs["x"], ssm, params, n_groups=G,
+        head_dim=P, eps=cfg.layer_norm_epsilon, interpret=True)
+
+    xs, cs_x = causal_conv1d_update(xr, cs["x"], cv["x"]["weight"],
+                                    cv["x"]["bias"], "silu")
+    y, ssm2 = ssd_update_step(
+        ssm, xs.reshape(B, H, P), dt, -jnp.exp(params["A_log"]),
+        B_.reshape(B, G, N), C_.reshape(B, G, N), D=params["D"],
+        dt_bias=params["dt_bias"], dt_softplus=True,
+        dt_limit=cfg.time_step_limit)
+    y = gated_rms_norm(y.reshape(B, d_inner), gate, params["norm"]["weight"],
+                       eps=cfg.layer_norm_epsilon, group_size=d_inner // G)
+
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ssm_f), np.asarray(ssm2),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cs_f), np.asarray(cs_x),
+                               rtol=1e-6, atol=1e-6)

@@ -134,3 +134,47 @@ def test_nano_w8a8_calibrated_matches_weight_only(monkeypatch):
     err = float(np.sqrt(((got - ref) ** 2).mean())) / rms
     assert err < 0.05, err
     assert (ref.argmax(-1) == got.argmax(-1)).mean() > 0.9
+
+
+def test_fuse_decode_in_proj_parity():
+    """fuse_decode_in_proj: the single fused in_proj matmul must reproduce
+    the split-leaf forward/prefill/decode exactly (plain f32) and at int8
+    tolerance (quantized leaves; shared activation scale fuses as min)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timeviper_tpu.config import tiny_nano_config
+    from timeviper_tpu.models.nano import (
+        init_nano_params,
+        nano_decode_step,
+        nano_forward,
+    )
+    from timeviper_tpu.train.quantize import (
+        fuse_decode_in_proj,
+        quantize_params_int8,
+    )
+
+    cfg = tiny_nano_config()
+    p = init_nano_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = jnp.asarray([[5, 6, 7, 8, 9, 10]])
+    ref = nano_forward(p, cfg, input_ids=ids, fill_cache=True,
+                       cache_max_len=16)
+    pf = fuse_decode_in_proj(p)
+    got = nano_forward(pf, cfg, input_ids=ids, fill_cache=True,
+                       cache_max_len=16)
+    np.testing.assert_allclose(np.asarray(got["logits"]),
+                               np.asarray(ref["logits"]),
+                               rtol=1e-6, atol=1e-6)
+    l1, _ = nano_decode_step(p, cfg, jnp.asarray([[3]]), ref["cache"])
+    l2, _ = nano_decode_step(pf, cfg, jnp.asarray([[3]]), got["cache"])
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                               rtol=1e-6, atol=1e-6)
+
+    # quantized leaves (force min_size 0 so tiny kernels quantize)
+    q = quantize_params_int8(p, min_size=0)
+    qf = fuse_decode_in_proj(q)
+    lq1 = nano_forward(q, cfg, input_ids=ids)["logits"]
+    lq2 = nano_forward(qf, cfg, input_ids=ids)["logits"]
+    np.testing.assert_allclose(np.asarray(lq2), np.asarray(lq1),
+                               rtol=1e-5, atol=1e-5)

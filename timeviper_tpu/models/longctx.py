@@ -74,12 +74,9 @@ def _mamba_layer_chunked(lp, cfg: NanoConfig, hidden, chunk_tokens: int):
         tail_x, tail_B, tail_C, ssm = carry
         normed = rms_norm(chunk, lp["norm"]["weight"],
                           eps=cfg.layer_norm_epsilon)
-        ip = p["in_proj"]
-        gate = _apply_linear(ip["gate"], normed)
-        xr = _apply_linear(ip["x"], normed)
-        Br = _apply_linear(ip["B"], normed)
-        Cr = _apply_linear(ip["C"], normed)
-        dtr = _apply_linear(ip["dt"], normed)
+        from timeviper_tpu.models.nano import mamba_in_proj
+
+        gate, xr, Br, Cr, dtr = mamba_in_proj(p["in_proj"], cfg, normed)
 
         def conv_cont(raw, tail, part):
             ext = jnp.concatenate([tail.astype(raw.dtype), raw], axis=1)

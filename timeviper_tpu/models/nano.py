@@ -194,6 +194,32 @@ def _apply_linear(p, x, precision=None):
     return y
 
 
+def mamba_in_proj(ip: Dict[str, Any], cfg: NanoConfig, x: jax.Array):
+    """The Mamba in-projection -> (gate, x, B, C, dt) raw streams.
+
+    Accepts either the canonical split leaves (gate/x/B/C/dt — what TP
+    sharding partitions) or a single `fused` leaf created by
+    `train/quantize.fuse_decode_in_proj`: one (D, d_in_proj) matmul
+    instead of five. The five splits share one input activation, so W8A8
+    activation scales fuse exactly; fusing cuts 4 kernel dispatches per
+    Mamba layer off the decode step (the reference gets this for free —
+    its checkpoint stores in_proj as one matrix, modeling_nano.py:489)."""
+    d_inner = cfg.mamba_intermediate_size
+    gn = cfg.mamba_n_groups * cfg.ssm_state_size
+    H = cfg.mamba_num_heads
+    if "fused" in ip:
+        out = _apply_linear(ip["fused"], x)
+        gate = out[..., :d_inner]
+        xr = out[..., d_inner:2 * d_inner]
+        Br = out[..., 2 * d_inner:2 * d_inner + gn]
+        Cr = out[..., 2 * d_inner + gn:2 * d_inner + 2 * gn]
+        dt = out[..., 2 * d_inner + 2 * gn:2 * d_inner + 2 * gn + H]
+        return gate, xr, Br, Cr, dt
+    return (_apply_linear(ip["gate"], x), _apply_linear(ip["x"], x),
+            _apply_linear(ip["B"], x), _apply_linear(ip["C"], x),
+            _apply_linear(ip["dt"], x))
+
+
 def mamba_mixer_forward(
     p: Dict[str, Any],
     cfg: NanoConfig,
@@ -216,12 +242,7 @@ def mamba_mixer_forward(
     G, N, H, P = (cfg.mamba_n_groups, cfg.ssm_state_size,
                   cfg.mamba_num_heads, cfg.mamba_head_dim)
 
-    ip = p["in_proj"]
-    gate = _apply_linear(ip["gate"], x)
-    xr = _apply_linear(ip["x"], x)
-    Br = _apply_linear(ip["B"], x)
-    Cr = _apply_linear(ip["C"], x)
-    dt = _apply_linear(ip["dt"], x)
+    gate, xr, Br, Cr, dt = mamba_in_proj(p["in_proj"], cfg, x)
 
     new_cache = None
     if fill_cache:
@@ -302,13 +323,45 @@ def mamba_mixer_decode(
 
     ip = p["in_proj"]
     x0 = x[:, 0]
-    gate = _apply_linear(ip["gate"], x0)
-    xr = _apply_linear(ip["x"], x0)
-    Br = _apply_linear(ip["B"], x0)
-    Cr = _apply_linear(ip["C"], x0)
-    dt = _apply_linear(ip["dt"], x0)
+    gate, xr, Br, Cr, dt = mamba_in_proj(ip, cfg, x0)
     cv = p["conv1d"]
     cs = cache_layer["conv_state"]
+
+    import os
+
+    from timeviper_tpu.ops.decode_fused import (
+        fused_mamba_decode,
+        fused_mamba_decode_supported,
+    )
+
+    if (os.environ.get("TIMEVIPER_FUSED_DECODE", "0") == "1"
+            and fused_mamba_decode_supported(cfg)
+            and cv["x"].get("bias") is not None):
+        # x-conv roll + SSD state update + gated norm in ONE Pallas
+        # kernel per layer (the reference's causal_conv1d_update +
+        # selective_state_update fusion, plus the norm); the tiny B/C
+        # convs and dt softplus stay in XLA. Default OFF: the measured
+        # A/B at 52L int8 W8A8 is 65.9 tok/s fused vs 72.2 unfused —
+        # Mosaic's tiling forces the per-channel work into (CpG, 1)
+        # columns that waste 127/128 lanes (same discipline as the
+        # fused-LN kernel: unmeasured-or-losing fusions don't ship on)
+        from timeviper_tpu.ops.ssd import _process_dt
+
+        B_, cs_B = causal_conv1d_update(Br, cs["B"], cv["B"]["weight"],
+                                        cv["B"]["bias"],
+                                        cfg.mamba_hidden_act)
+        C_, cs_C = causal_conv1d_update(Cr, cs["C"], cv["C"]["weight"],
+                                        cv["C"]["bias"],
+                                        cfg.mamba_hidden_act)
+        dtf = _process_dt(dt, p["dt_bias"], True, cfg.time_step_limit)
+        y, cs_x, ssm_state = fused_mamba_decode(
+            xr, B_, C_, dtf, gate, cs["x"], cache_layer["ssm_state"], p,
+            n_groups=G, head_dim=P, eps=cfg.layer_norm_epsilon)
+        out = _apply_linear(p["out_proj"], y)
+        return out[:, None, :], {
+            "conv_state": {"x": cs_x, "B": cs_B, "C": cs_C},
+            "ssm_state": ssm_state}
+
     xs, cs_x = causal_conv1d_update(xr, cs["x"], cv["x"]["weight"],
                                     cv["x"]["bias"], cfg.mamba_hidden_act)
     B_, cs_B = causal_conv1d_update(Br, cs["B"], cv["B"]["weight"],

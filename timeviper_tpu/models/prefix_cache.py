@@ -76,12 +76,9 @@ def _mamba_continue(
                   cfg.mamba_num_heads, cfg.mamba_head_dim)
     K = cfg.mamba_d_conv
 
-    ip = p["in_proj"]
-    gate = _apply_linear(ip["gate"], x)
-    xr = _apply_linear(ip["x"], x)
-    Br = _apply_linear(ip["B"], x)
-    Cr = _apply_linear(ip["C"], x)
-    dt = _apply_linear(ip["dt"], x)
+    from timeviper_tpu.models.nano import mamba_in_proj
+
+    gate, xr, Br, Cr, dt = mamba_in_proj(p["in_proj"], cfg, x)
     # inert pads: apply the FULL dt activation (softplus + bias + clamp)
     # here and zero it at pad positions, passing the kernel pre-activated
     # dt. Zeroing the RAW dt instead would break under a config with

@@ -126,3 +126,66 @@ def apply_linear_maybe_quantized(p, x, einsum_str: str = "...i,io->...o"):
     if p.get("bias") is not None:
         y = y + p["bias"].astype(y.dtype)
     return y
+
+
+def fuse_decode_in_proj(params: Any) -> Any:
+    """Concatenate each Mamba layer's in_proj split leaves (gate/x/B/C/dt)
+    into ONE matmul leaf, order matching `models/nano.mamba_in_proj`.
+
+    The five projections share one input activation, so W8A8 activation
+    scales fuse exactly (min of the per-leaf act_inv = max amax); the
+    per-output-channel kernel scales concatenate. Cuts 4 kernel
+    dispatches per Mamba layer off the decode step — the reference's
+    checkpoint stores in_proj as one matrix anyway (modeling_nano.py:489).
+
+    Single-chip serving optimization: TP sharding rules partition the
+    SPLIT leaves, so apply this only to replicated serving params. Layers
+    carrying LoRA deltas keep their split leaves.
+    """
+    import jax
+
+    ORDER = ("gate", "x", "B", "C", "dt")
+
+    def fuse(ip):
+        leaves = [ip[k] for k in ORDER]
+        if any("lora_a" in lf for lf in leaves):
+            return ip
+        if all("kernel_q" in lf for lf in leaves):
+            fused = {
+                "kernel_q": jnp.concatenate(
+                    [lf["kernel_q"] for lf in leaves], axis=1),
+                "kernel_scale": jnp.concatenate(
+                    [lf["kernel_scale"] for lf in leaves]),
+            }
+            if all("act_inv" in lf for lf in leaves):
+                fused["act_inv"] = jnp.min(jnp.stack(
+                    [lf["act_inv"] for lf in leaves]))
+        elif all("kernel" in lf for lf in leaves):
+            fused = {"kernel": jnp.concatenate(
+                [lf["kernel"] for lf in leaves], axis=1)}
+        else:
+            return ip  # mixed layouts: leave split
+        if any(lf.get("bias") is not None for lf in leaves):
+            def b_of(lf):
+                b = lf.get("bias")
+                return b if b is not None else jnp.zeros(
+                    (lf[next(iter(lf))].shape[-1],),
+                    leaves[0].get("bias").dtype)
+            fused["bias"] = jnp.concatenate([b_of(lf) for lf in leaves])
+        return {"fused": fused}
+
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if (k == "in_proj" and isinstance(v, dict)
+                        and all(n in v for n in ORDER)):
+                    out[k] = fuse(v)
+                else:
+                    out[k] = walk(v)
+            return out
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
