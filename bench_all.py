@@ -122,6 +122,121 @@ def bench_decode(results):
         })
 
 
+def bench_decode_spec(results):
+    """N-gram speculative decode (models/speculative.py) at the FULL 52L
+    int8 geometry, batch 1. Two operating points:
+
+    * full-acceptance: a rigged "successor" model (one-hot embeddings,
+      shifted lm_head, zeroed mixer out-projections — the WEIGHTS keep
+      the full 9B footprint, so per-pass HBM traffic and kernel timings
+      are the real ones) over a cyclic prompt, where every drafted token
+      is correct — the copy-heavy-output upper bound;
+    * zero-acceptance: a non-repeating prompt where no n-gram ever
+      matches — measures the fallback's overhead vs the plain loop
+      (should be ~0: the proposer is a trivially cheap elementwise scan
+      and the loop falls straight through to the plain decode step).
+
+    Real workloads land between the two in proportion to how much of the
+    output copies prompt text (timestamps, option strings, subtitles)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from timeviper_tpu.config import NanoConfig, VLMConfig, tiny_vit_config
+    from timeviper_tpu.models.nano import init_nano_params, nano_forward
+    from timeviper_tpu.models.speculative import make_spec_decode
+    from timeviper_tpu.models.vlm import VLMArch
+    from timeviper_tpu.train.quantize import (
+        calibrate_act_scales,
+        quantize_params_int8,
+    )
+
+    cfg = NanoConfig(vocab_size=2048)  # FULL 52L, 9B width, int8
+    params = jax.jit(
+        lambda k: quantize_params_int8(
+            init_nano_params(k, cfg, dtype=jnp.bfloat16))
+    )(jax.random.PRNGKey(0))
+    emb = jax.random.normal(
+        jax.random.PRNGKey(1), (1, 32, cfg.hidden_size), jnp.bfloat16)
+    params = calibrate_act_scales(
+        lambda p, e: nano_forward(p, cfg, inputs_embeds=e,
+                                  logits_to_keep=1)["logits"],
+        params, [emb])
+
+    # successor rig: argmax after token i is (i+1) % v_cyc, full weights.
+    # v_cyc=16 + cyclic prompt => drafts always correct (full accept);
+    # v_cyc=vocab + an ascending prompt => no bigram ever recurs, so the
+    # proposer never fires (zero accept). Mixer out-projections zeroed in
+    # both — the int8 weight tensors keep their 9B footprint either way.
+    D = cfg.hidden_size
+    for layer in params["layers"]:
+        mix = layer["mixer"]
+        for name in ("out_proj", "o_proj"):
+            if name in mix and "kernel_q" in mix[name]:
+                mix[name]["kernel_q"] = jnp.zeros_like(mix[name]["kernel_q"])
+    params = jax.block_until_ready(params)
+
+    def rig(v_cyc):
+        d = min(v_cyc, D)
+        embeddings = jnp.zeros_like(params["embeddings"]).at[
+            jnp.arange(d), jnp.arange(d) % D].set(1.0)
+        lm_head = {"kernel": jnp.zeros(
+            (D, cfg.vocab_size), jnp.bfloat16).at[
+            jnp.arange(d) % D, (jnp.arange(d) + 1) % v_cyc].set(1.0)}
+        return dict(params, embeddings=embeddings, lm_head=lm_head)
+
+    arch = VLMArch(vlm=VLMConfig(), vision=tiny_vit_config(), llm=cfg,
+                   llm_family="nano")
+    P, max_new, n_draft = 512, 64, 7
+    cap = P + max_new + n_draft + 2
+
+    def run_case(name, params, prompt):
+        pre = jax.jit(lambda p, i: nano_forward(
+            p, cfg, input_ids=i, fill_cache=True, cache_max_len=cap,
+            logits_to_keep=1))(params, prompt[None])
+        first = pre["logits"][:, -1]
+        cache = pre["cache"]
+        buf = np.full((1024,), -1, np.int32)
+        buf[:P] = np.asarray(prompt)
+        spec = jax.jit(make_spec_decode(
+            arch, max_new_tokens=max_new, terminators=(2047,),
+            n_draft=n_draft))
+        wp = {"llm_backbone": params}
+        out, n = spec(wp, first, cache, jnp.asarray(buf),
+                      jnp.asarray(P, jnp.int32))
+        n0 = int(jax.device_get(n))
+        dt = _timeit(lambda: _sync(spec(wp, first, cache, jnp.asarray(buf),
+                                        jnp.asarray(P, jnp.int32))[0]))
+
+        @jax.jit
+        def plain(p, tok, cache):
+            from timeviper_tpu.models.nano import nano_decode_step
+
+            def body(i, carry):
+                tok, cache = carry
+                logits, cache = nano_decode_step(p, cfg, tok, cache)
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+                return (nxt, cache)
+            tok, cache = jax.lax.fori_loop(0, max_new, body, (tok, cache))
+            return tok
+
+        tok0 = jnp.argmax(first, axis=-1).astype(jnp.int32)[:, None]
+        dt_plain = _timeit(lambda: _sync(plain(params, tok0, cache)))
+        results.append({
+            "metric": f"decode_spec_52L_int8_{name}",
+            "value": round(n0 / dt, 1), "unit": "tokens/sec",
+            "plain_tokens_per_sec": round(max_new / dt_plain, 1),
+            "speedup": round(dt_plain / dt * n0 / max_new, 2),
+            "emitted": n0, "n_draft": n_draft,
+        })
+
+    run_case("full_accept", rig(16),
+             jnp.asarray(np.arange(P) % 16, jnp.int32))
+    run_case("zero_accept", rig(cfg.vocab_size),
+             jnp.asarray(np.arange(P), jnp.int32))
+
+
 def bench_ssd_op(results):
     import jax
     import jax.numpy as jnp
@@ -985,10 +1100,10 @@ def main():
                 f.write(json.dumps(
                     {**r, "commit": commit, "ts": stamp}) + "\n")
         return
-    benches = (bench_prefill, bench_decode, bench_ssd_op, bench_vision,
-               bench_serving, bench_serving_short, bench_serving_pdrop,
-               bench_chunked_prefill, bench_prefix_cache, bench_train,
-               bench_qlora)
+    benches = (bench_prefill, bench_decode, bench_decode_spec, bench_ssd_op,
+               bench_vision, bench_serving, bench_serving_short,
+               bench_serving_pdrop, bench_chunked_prefill,
+               bench_prefix_cache, bench_train, bench_qlora, bench_offload)
     if args.only:
         benches = tuple(f for f in benches
                         if f.__name__.endswith(args.only))

@@ -148,6 +148,10 @@ class Generator:
         clip_size: int = 256,
         cache_dtype=jnp.bfloat16,
         mesh=None,
+        speculative: Optional[str] = None,  # "ngram" => prompt-lookup
+                                            # speculative decoding
+                                            # (models/speculative.py)
+        n_draft: int = 7,
     ) -> None:
         self.params = params
         self.arch = arch
@@ -158,6 +162,10 @@ class Generator:
         self.clip_size = clip_size
         self.cache_dtype = cache_dtype
         self.mesh = mesh
+        if speculative not in (None, "ngram"):
+            raise ValueError(f"unknown speculative mode {speculative!r}")
+        self.speculative = speculative
+        self.n_draft = n_draft
 
     @property
     def _seq_shards(self) -> int:
@@ -392,6 +400,62 @@ class Generator:
 
         return cached_jit(key, make)
 
+    # -- speculative decode -----------------------------------------------
+
+    @property
+    def _spec_on(self) -> bool:
+        """Speculation applies to the greedy single-program decode path:
+        temperature 0 (acceptance is an argmax comparison) and no kv_valid
+        bookkeeping (masked sharded-pdrop prefills keep the plain loop)."""
+        return (self.speculative == "ngram"
+                and self.sampling.temperature == 0.0)
+
+    @property
+    def _spec_margin(self) -> int:
+        """Extra cache rows a speculative verify pass may touch past
+        max_new_tokens (the S-token suffix window writes beyond the last
+        accepted row; margin keeps dynamic_update_slice from clamping)."""
+        return (self.n_draft + 2) if self._spec_on else 0
+
+    def _get_spec_decode(self, buf_size: int):
+        key = ("spec_decode", repr(self.arch), self.max_new_tokens,
+               self.terminators, self.n_draft, buf_size)
+
+        def make():
+            from timeviper_tpu.models.speculative import make_spec_decode
+
+            return make_spec_decode(
+                self.arch,
+                max_new_tokens=self.max_new_tokens,
+                terminators=self.terminators,
+                n_draft=self.n_draft,
+                pad_token_id=self.pad_token_id,
+            )
+
+        return cached_jit(key, make)
+
+    def _run_decode(self, ids, first_logits, cache, rng_seed,
+                    image_token_id=None):
+        """Dispatch the decode loop (plain or speculative) and package the
+        output. `ids` is the full prompt id list (speculation mines it for
+        n-gram continuations)."""
+        if self._spec_on and cache.get("kv_valid") is None:
+            from timeviper_tpu.models.speculative import text_history
+
+            buf, buf_len = text_history(
+                ids, image_token_id, self.pad_token_id,
+                self.max_new_tokens, self.n_draft)
+            spec = self._get_spec_decode(buf.shape[0])
+            out, n = spec(self.params, first_logits, cache,
+                          jnp.asarray(buf), jnp.asarray(buf_len, jnp.int32))
+        else:
+            decode = self._get_decode()
+            out, n = decode(self.params, first_logits, cache,
+                            jax.random.PRNGKey(rng_seed))
+        out = np.asarray(out)
+        n = int(n)
+        return GenerationOutput(token_ids=out[:n], num_generated=n)
+
     # -- public ----------------------------------------------------------
 
     def _plan_prompt(self, ids, image_token_id):
@@ -453,8 +517,10 @@ class Generator:
                                self.cache_dtype)
 
         if cache_len is None:
-            cache_len = bucket + suffix_budget + self.max_new_tokens
-        assert cache_len >= bucket + suffix_budget + self.max_new_tokens, (
+            cache_len = (bucket + suffix_budget + self.max_new_tokens
+                         + self._spec_margin)
+        assert cache_len >= (bucket + suffix_budget + self.max_new_tokens
+                             + self._spec_margin), (
             "cache_len too small for prefix + suffix_budget + max_new")
         use_sp = (self._seq_shards > 1
                   and self.arch.llm_family == "nano"
@@ -538,12 +604,7 @@ class Generator:
             first_logits, cache = cont(
                 self.params, jnp.asarray(ids_arr), prefix.cache,
                 jnp.asarray(len(ids), jnp.int32))
-            decode = self._get_decode()
-            out, n = decode(self.params, first_logits, cache,
-                            jax.random.PRNGKey(rng_seed))
-            out = np.asarray(out)
-            n = int(n)
-            return GenerationOutput(token_ids=out[:n], num_generated=n)
+            return self._run_decode(ids, first_logits, cache, rng_seed)
 
         visual = None
         if pixels is not None:
@@ -554,7 +615,7 @@ class Generator:
         nv = visual.shape[0] if visual is not None else 0
         assert plan.num_visual == nv, (plan.num_visual, nv)
 
-        cache_len = bucket + self.max_new_tokens
+        cache_len = bucket + self.max_new_tokens + self._spec_margin
         if visual is None:
             visual = jnp.zeros((0, self.arch.llm.hidden_size), self.cache_dtype)
         use_seq_parallel = (
@@ -615,10 +676,5 @@ class Generator:
                 visual,
                 pad,
             )
-        decode = self._get_decode()
-        out, n = decode(self.params, first_logits, cache,
-                        jax.random.PRNGKey(rng_seed))
-        out = np.asarray(out)
-        n = int(n)
-        toks = out[:n]
-        return GenerationOutput(token_ids=toks, num_generated=n)
+        return self._run_decode(ids, first_logits, cache, rng_seed,
+                                image_token_id=image_token_id)

@@ -69,6 +69,11 @@ def _mamba_continue(
     cache_layer: Dict[str, Any],
     real_mask: jax.Array,  # (S,) bool, True at real positions
     real_len: jax.Array,   # int32 scalar
+    chunk_size: Optional[int] = None,  # override cfg.chunk_size (a tiny,
+                                       # non-128-multiple chunk routes the
+                                       # few-token speculative verify pass
+                                       # through the XLA scan instead of
+                                       # spinning up the Pallas grid)
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     B, S, _ = x.shape
     d_inner = cfg.mamba_intermediate_size
@@ -118,7 +123,7 @@ def _mamba_continue(
         Bc.reshape(B, S, G, N),
         Cc.reshape(B, S, G, N),
         initial_state=cache_layer["ssm_state"],
-        chunk_size=cfg.chunk_size,
+        chunk_size=chunk_size or cfg.chunk_size,
         D=p["D"],
         dt_bias=None,               # dt arrives pre-activated (above)
         dt_softplus=False,
@@ -332,6 +337,7 @@ def qwen2_forward_continue(
     cache: Dict[str, Any],
     real_len: jax.Array,       # int32: real (unpadded) suffix length
     pdrop_params=None,
+    logits_all: bool = False,  # (B, S, V) logits for speculative verify
 ):
     """qwen2-family continuation on a filled cache (attention-only + RoPE).
 
@@ -400,8 +406,11 @@ def qwen2_forward_continue(
         new_layers.append({"k": k, "v": v})
 
     hidden = rms_norm(hidden, params["norm_f"]["weight"], cfg.rms_norm_eps)
-    last = jax.lax.dynamic_slice_in_dim(hidden, real_len - 1, 1, axis=1)
-    logits = q_logits(params, last[:, 0])
+    if logits_all:
+        logits = q_logits(params, hidden)  # (B, S, V)
+    else:
+        last = jax.lax.dynamic_slice_in_dim(hidden, real_len - 1, 1, axis=1)
+        logits = q_logits(params, last[:, 0])
     new_cache: Dict[str, Any] = {
         "layers": new_layers,
         "length": length + real_len,
@@ -421,6 +430,10 @@ def nano_forward_continue(
     pdrop_params=None,
     kv_bucket: Optional[int] = None,  # STATIC cap on attended KV rows;
                                       # caller guarantees length + S <= it
+    logits_all: bool = False,  # return logits at EVERY suffix position
+                               # (B, S, V) — the speculative-decoding
+                               # verify pass checks each drafted token
+    chunk_size: Optional[int] = None,
 ):
     """Run a suffix on top of a filled cache; return (last_logits, cache).
 
@@ -463,7 +476,7 @@ def nano_forward_continue(
         if block_type == "mamba":
             out, lc = _mamba_continue(
                 lp["mixer"], cfg, normed, cache["layers"][idx],
-                real_mask, real_len)
+                real_mask, real_len, chunk_size=chunk_size)
         elif block_type == "attention":
             out, lc = _attention_continue(
                 lp["mixer"], cfg, normed, cache["layers"][idx],
@@ -477,8 +490,11 @@ def nano_forward_continue(
 
     hidden = rms_norm(hidden, params["norm_f"]["weight"],
                       eps=cfg.layer_norm_epsilon)
-    last = jax.lax.dynamic_slice_in_dim(hidden, real_len - 1, 1, axis=1)
-    logits = compute_logits(params, last[:, 0])
+    if logits_all:
+        logits = compute_logits(params, hidden)  # (B, S, V)
+    else:
+        last = jax.lax.dynamic_slice_in_dim(hidden, real_len - 1, 1, axis=1)
+        logits = compute_logits(params, last[:, 0])
 
     new_cache: Dict[str, Any] = {
         "layers": new_layers,
