@@ -41,6 +41,36 @@ import jax.numpy as jnp
 A100_PREFILL_TOK_S = 7000.0  # 45-55% MFU midpoint at ~20 GF/token
 A100_E2E_FRAMES_S = 157.0    # BASELINE.md "A100 baseline derivation"
 
+# Fallbacks taken this run; emitted as "degraded" in the JSON when
+# non-empty so a crash-adjacent run still reports an honest number with
+# its provenance. (Round-4 lesson: the headline instrument OOM'd once
+# near the 16 GB ceiling and the round shipped no perf evidence. The
+# reference's timing instrument always completes, evaluate.py:681-693.)
+DEGRADED: list = []
+
+
+def _is_oom(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return "RESOURCE_EXHAUSTED" in s or "Resource exhausted" in s
+
+
+def _guard(phase: str, thunk, fallback=None, fallback_tag: str = ""):
+    """Run thunk; on device OOM take the fallback (or return None) and
+    record the degradation instead of killing the instrument."""
+    import sys
+    import traceback
+
+    try:
+        return thunk()
+    except Exception as e:  # noqa: BLE001 - instrument must survive
+        if not _is_oom(e):
+            raise
+        traceback.print_exc(file=sys.stderr)
+        DEGRADED.append(fallback_tag or f"{phase}_skipped_oom")
+        print(f"[bench] OOM in {phase}; falling back"
+              f" ({fallback_tag or 'skip'})", file=sys.stderr)
+        return fallback() if fallback is not None else None
+
 
 def _sync(arr):
     import numpy as np
@@ -78,10 +108,6 @@ def bench_e2e():
             k, vcfg.hidden_size, lcfg.hidden_size, "tome_mlp",
             dtype=jnp.bfloat16)
     )(jax.random.PRNGKey(1))
-    lparams = jax.jit(
-        lambda k: quantize_params_int8(
-            init_nano_params(k, lcfg, dtype=jnp.bfloat16))
-    )(jax.random.PRNGKey(2))
 
     # one clip of pixels, reused per clip step (decode/IO is host-side and
     # overlapped in production; this measures the device pipeline)
@@ -92,10 +118,17 @@ def bench_e2e():
         from timeviper_tpu.train.quantize import calibrate_act_scales
 
         # one-time static activation-scale calibration (offline in a real
-        # deployment; here on the bench's own input distribution)
-        vparams = calibrate_act_scales(
-            lambda p, px: vit_forward(p, vcfg, px), vparams,
-            [pixels[: min(32, clip)]])
+        # deployment; here on the bench's own input distribution). Runs
+        # BEFORE the 9 GB LLM params exist — the r4 crash was this phase
+        # with lparams resident — and degrades to weight-only int8 (exact
+        # dequant, no act error) rather than dying if it OOMs anyway.
+        vparams = _guard(
+            "vit_calibration",
+            lambda: calibrate_act_scales(
+                lambda p, px: vit_forward(p, vcfg, px), vparams,
+                [pixels[: min(32, clip)]]),
+            fallback=lambda: vparams,
+            fallback_tag="vit_w8a8->weight_only_int8")
 
     # W8A8 for the LLM prefill projections too (BENCH_LLM_W8A8=0 reverts
     # to weight-only int8): calibrated below on real projector outputs.
@@ -110,16 +143,27 @@ def bench_e2e():
         return proj.reshape(1, clip * tokens_per_frame, -1).astype(
             jnp.bfloat16)
 
+    # one clip's worth of real projector outputs (4k tokens) for the LLM
+    # calibration — produced before lparams exist to keep peak HBM low
+    cal_embeds = encode_clip(vparams, pparams, pixels) if llm_w8a8 else None
+
+    lparams = jax.jit(
+        lambda k: quantize_params_int8(
+            init_nano_params(k, lcfg, dtype=jnp.bfloat16))
+    )(jax.random.PRNGKey(2))
+
     if llm_w8a8:
         from timeviper_tpu.train.quantize import calibrate_act_scales
 
-        # calibrate the backbone's static activation scales on one clip's
-        # worth of real projector outputs (4k tokens)
-        cal_embeds = encode_clip(vparams, pparams, pixels)
-        lparams = calibrate_act_scales(
-            lambda p, e: nano_forward(
-                p, lcfg, inputs_embeds=e, logits_to_keep=1)["logits"],
-            lparams, [cal_embeds])
+        lparams = _guard(
+            "llm_calibration",
+            lambda: calibrate_act_scales(
+                lambda p, e: nano_forward(
+                    p, lcfg, inputs_embeds=e, logits_to_keep=1)["logits"],
+                lparams, [cal_embeds]),
+            fallback=lambda: lparams,
+            fallback_tag="llm_w8a8->weight_only_int8")
+        del cal_embeds
 
     n_clips = -(-F // clip)
     L = F * tokens_per_frame
@@ -133,24 +177,30 @@ def bench_e2e():
     # (models/longctx.py) — this is what puts 10k frames on one chip
     longctx = os.environ.get("BENCH_LONGCTX") == "1" or L > 98304
     chunk_tokens = 16384
-    Lpad = (-(-L // chunk_tokens) * chunk_tokens if longctx
-            else -(-L // 1024) * 1024)
 
-    if longctx:
-        from timeviper_tpu.models.longctx import nano_forward_longctx
+    def make_prefill(use_longctx):
+        if use_longctx:
+            from timeviper_tpu.models.longctx import nano_forward_longctx
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill(lparams, embeds):
-            out = nano_forward_longctx(
-                lparams, lcfg, embeds, chunk_tokens=chunk_tokens,
-                logits_to_keep=1)
-            return out["logits"]
-    else:
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def prefill(lparams, embeds):
-            out = nano_forward(lparams, lcfg, inputs_embeds=embeds,
-                               logits_to_keep=1)
-            return out["logits"]
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill(lparams, embeds):
+                out = nano_forward_longctx(
+                    lparams, lcfg, embeds, chunk_tokens=chunk_tokens,
+                    logits_to_keep=1)
+                return out["logits"]
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def prefill(lparams, embeds):
+                out = nano_forward(lparams, lcfg, inputs_embeds=embeds,
+                                   logits_to_keep=1)
+                return out["logits"]
+        return prefill
+
+    def lpad_for(use_longctx):
+        return (-(-L // chunk_tokens) * chunk_tokens if use_longctx
+                else -(-L // 1024) * 1024)
+
+    prefill, Lpad = make_prefill(longctx), lpad_for(longctx)
 
     def run():
         t0 = time.perf_counter()
@@ -167,7 +217,18 @@ def bench_e2e():
         t2 = time.perf_counter()
         return t1 - t0, t2 - t1
 
-    run()  # warmup / compile
+    try:
+        run()  # warmup / compile
+    except Exception as e:  # noqa: BLE001 - instrument must survive
+        if not _is_oom(e) or longctx:
+            raise
+        # full-length prefill didn't fit: the chunked layer-major forward
+        # computes the same function at O(chunk) wide-intermediate memory
+        DEGRADED.append("prefill->longctx_chunked")
+        longctx = True
+        prefill, Lpad = make_prefill(True), lpad_for(True)
+        run()
+
     vis_s = llm_s = 0.0
     for _ in range(steps):
         v, l = run()
@@ -176,7 +237,7 @@ def bench_e2e():
 
     total = vis_s + llm_s
     fps = F / total
-    print(json.dumps({
+    rec = {
         "metric": f"e2e_{F}frames_first_token",
         "value": round(fps, 1),
         "unit": "frames/sec",
@@ -184,7 +245,10 @@ def bench_e2e():
         "phases": {"vision_encode_s": round(vis_s, 2),
                    "llm_prefill_s": round(llm_s, 2),
                    "tokens": L},
-    }))
+    }
+    if DEGRADED:
+        rec["degraded"] = list(DEGRADED)
+    print(json.dumps(rec))
 
 
 def bench_e2e_stream(vparams, pparams, lparams, lcfg, encode_clip, pixels,
@@ -267,7 +331,7 @@ def bench_e2e_stream(vparams, pparams, lparams, lcfg, encode_clip, pixels,
     enc_s = time.perf_counter() - t0
 
     fps = F / total
-    print(json.dumps({
+    rec = {
         "metric": f"e2e_{F}frames_first_token",
         "value": round(fps, 1),
         "unit": "frames/sec",
@@ -278,7 +342,10 @@ def bench_e2e_stream(vparams, pparams, lparams, lcfg, encode_clip, pixels,
                    "tokens": L},
         "note": "streaming: encode and chunked prefill interleaved "
                 "per 256-frame clip (prefix-cache continuation)",
-    }))
+    }
+    if DEGRADED:
+        rec["degraded"] = list(DEGRADED)
+    print(json.dumps(rec))
 
 
 def bench_prefill():
@@ -339,6 +406,43 @@ def bench_prefill():
     }))
 
 
+def _rescue_reexec() -> bool:
+    """Last line of defense: re-run this script in a fresh process with
+    the leanest e2e configuration (weight-only int8 LLM, no calibration
+    passes, chunked layer-major prefill), staged down in frame count.
+    Returns True if some stage emitted a JSON line on stdout. A fresh
+    process matters: it releases every HBM buffer and compilation handle
+    the crashed attempt held."""
+    import subprocess
+    import sys
+
+    stages = [
+        {"BENCH_LLM_W8A8": "0", "BENCH_LONGCTX": "1"},
+        {"BENCH_LLM_W8A8": "0", "BENCH_LONGCTX": "1",
+         "BENCH_VIT_DTYPE": "bf16"},
+        {"BENCH_LLM_W8A8": "0", "BENCH_LONGCTX": "1",
+         "BENCH_VIT_DTYPE": "bf16", "BENCH_FRAMES": "2560",
+         "BENCH_CLIP": "128"},
+    ]
+    for stage in stages:
+        env = dict(os.environ, BENCH_RESCUE="1", BENCH_STREAM="0", **stage)
+        print(f"[bench] rescue re-exec with {stage}", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600)
+        sys.stderr.write(proc.stderr)
+        out = [ln for ln in proc.stdout.splitlines()
+               if ln.startswith("{")]
+        if proc.returncode == 0 and out:
+            rec = json.loads(out[-1])
+            rec.setdefault("degraded", []).append(
+                "rescue_reexec:" + ",".join(f"{k}={v}"
+                                            for k, v in stage.items()))
+            print(json.dumps(rec))
+            return True
+    return False
+
+
 def main():
     # warm starts: the e2e compile set (vision clip + 80k prefill) takes
     # minutes cold through the remote helper; the persistent cache carries
@@ -352,8 +456,16 @@ def main():
     mode = os.environ.get("BENCH_MODE", "e2e")
     if mode == "prefill":
         bench_prefill()
-    else:
+        return
+    try:
         bench_e2e()
+    except Exception:  # noqa: BLE001 - emit a number or die trying
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        if os.environ.get("BENCH_RESCUE") == "1" or not _rescue_reexec():
+            raise
 
 
 if __name__ == "__main__":
