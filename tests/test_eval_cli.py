@@ -119,6 +119,37 @@ def test_eval_cli_end_to_end(tmp_path, monkeypatch, serving):
     assert os.path.exists(os.path.join(out_dir, "scores.json"))
 
 
+def test_eval_cli_speculative(tmp_path, monkeypatch):
+    """--speculative ngram routes through the speculative decode loop and
+    produces OUTPUT-IDENTICAL predictions to the plain greedy loop (the
+    models/speculative.py invariant, here exercised through the full CLI
+    plumbing: get_args -> load_pretrained_vlm -> Generator)."""
+    import timeviper_tpu.data.video as video_mod
+    import timeviper_tpu.eval.evaluate as ev
+
+    _make_checkpoint(tmp_path)
+    monkeypatch.setattr(ev, "load_benchmark",
+                        lambda name, root, split: list(FAKE_RECORDS))
+    monkeypatch.setattr(video_mod, "load_video", _fake_load_video)
+
+    outs = {}
+    for mode in ("plain", "spec"):
+        out_dir = str(tmp_path / f"out_{mode}")
+        argv = [
+            "--checkpoint", str(tmp_path),
+            "--dataset_name", "mvbench",
+            "--output_dir", out_dir,
+            "--max_new_tokens", "6",
+            "--min_frames", "4", "--max_frames", "4",
+        ]
+        if mode == "spec":
+            argv += ["--speculative", "ngram", "--n_draft", "3"]
+        ev.main(argv)
+        with open(os.path.join(out_dir, "0_of_1.jsonl")) as f:
+            outs[mode] = [json.loads(l)["output_text"] for l in f]
+    assert outs["spec"] == outs["plain"]
+
+
 def test_eval_cli_with_real_video_decode(tmp_path, monkeypatch):
     """Same pipeline but decoding REAL video files through the native
     libav decoder (no loader monkeypatch)."""

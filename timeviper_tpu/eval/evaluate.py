@@ -66,6 +66,17 @@ def get_args(argv=None):
                         "same video (models/prefix_cache.py) — multi-"
                         "question benchmarks (VideoMME: 3 q/video) skip "
                         "the repeated vision encode + 80k-token prefill")
+    p.add_argument("--speculative", type=str, default=None,
+                   choices=["ngram"],
+                   help="prompt-lookup speculative decoding for the "
+                        "greedy batch-1 decode loop (models/speculative"
+                        ".py): drafts from the prompt's own n-grams, "
+                        "token-identical output. Ignored by "
+                        "--use_serving_engine (its lockstep multi-slot "
+                        "decode is documented batch-1-out-of-scope, "
+                        "docs/SERVING.md)")
+    p.add_argument("--n_draft", type=int, default=7,
+                   help="drafted tokens per speculative verify pass")
     p.add_argument("--suffix_budget", type=int, default=1024,
                    help="max question-suffix tokens a cached prefix absorbs")
     p.add_argument("--score_only", action="store_true")
@@ -125,6 +136,8 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens,
         use_pdrop=args.use_pdrop,
         mesh=mesh,
+        speculative=args.speculative,
+        n_draft=args.n_draft,
     )
     datatype = get_dataset_type(args.dataset_name)
     records = load_benchmark(args.dataset_name, args.data_root, args.split)

@@ -138,12 +138,20 @@ def load_pretrained_vlm(
     sampling: SamplingParams = SamplingParams(),
     quantize_int8: bool = False,
     mesh=None,
+    speculative: Optional[str] = None,
+    n_draft: int = 7,
 ) -> TimeViperModel:
     """Load a VLM checkpoint dir (see module docstring for layout).
 
     `quantize_int8=True` applies weight-only int8 to the LLM backbone
     (train/quantize.py) — halves weight HBM so the 9B fits one 16 GB chip
     and roughly doubles bandwidth-bound decode.
+
+    `speculative="ngram"` turns on prompt-lookup speculative decoding for
+    greedy single-prompt generation (models/speculative.py): K drafted
+    tokens verified per forward, token-identical output. No reference
+    equivalent — its HF loop is one token per forward and its vLLM path
+    cannot speculate over mamba caches (modeling_nano.py:484-546).
 
     `mesh`: multi-chip inference (the vLLM TP=n_gpus analog,
     vllm_infer.py:44-60). A `model` axis > 1 shards the params with the
@@ -233,6 +241,8 @@ def load_pretrained_vlm(
         max_new_tokens=max_new_tokens,
         sampling=sampling,
         mesh=mesh,
+        speculative=speculative,
+        n_draft=n_draft,
     )
     return TimeViperModel(
         arch=arch, params=params, processor=processor, template=template,
