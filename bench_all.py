@@ -651,24 +651,39 @@ def bench_train(results):
             k, c, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
         ids = jnp.zeros((1, L), jnp.int32)
 
-        def loss_fn(params, c=cfg):
-            out = nano_forward(params, c, input_ids=ids, remat=True)
-            lp = jax.nn.log_softmax(out["logits"][:, :-1], axis=-1)
-            return -jnp.take_along_axis(
-                lp, ids[:, 1:, None], axis=-1).mean()
+        # remat-policy A/B at the 9B-width shape: "full" recomputes the
+        # whole block in backward; "scan" saves the named SSD/attn mixer
+        # outputs; "dots" saves matmul outputs (fastest, most memory —
+        # may OOM at full depth, recorded honestly if so)
+        import os
 
-        step = jax.jit(jax.grad(loss_fn))
-        try:
-            dt = _timeit(lambda: _sync(step(params)["norm_f"]["weight"]))
-            results.append({
-                "metric": f"train_fwdbwd_{n_layers}L_h{hidden}_{L}tok",
-                "value": round(L / dt, 1), "unit": "tokens/sec",
-            })
-        except Exception as e:  # noqa: BLE001
-            results.append({
-                "metric": f"train_fwdbwd_{n_layers}L_h{hidden}",
-                "error": f"{type(e).__name__}: {str(e)[:100]}"})
-        del params, step
+        policies = os.environ.get(
+            "BENCH_TRAIN_POLICIES",
+            "full,scan,dots" if hidden == 4096 else "full").split(",")
+        for pol in policies:
+            def loss_fn(params, c=cfg, pol=pol):
+                out = nano_forward(params, c, input_ids=ids, remat=True,
+                                   remat_policy=pol)
+                lp = jax.nn.log_softmax(out["logits"][:, :-1], axis=-1)
+                return -jnp.take_along_axis(
+                    lp, ids[:, 1:, None], axis=-1).mean()
+
+            step = jax.jit(jax.grad(loss_fn))
+            suffix = "" if pol == "full" else f"_remat-{pol}"
+            try:
+                dt = _timeit(
+                    lambda: _sync(step(params)["norm_f"]["weight"]))
+                results.append({
+                    "metric":
+                        f"train_fwdbwd_{n_layers}L_h{hidden}_{L}tok{suffix}",
+                    "value": round(L / dt, 1), "unit": "tokens/sec",
+                })
+            except Exception as e:  # noqa: BLE001
+                results.append({
+                    "metric": f"train_fwdbwd_{n_layers}L_h{hidden}{suffix}",
+                    "error": f"{type(e).__name__}: {str(e)[:100]}"})
+            del step
+        del params
 
 
 def bench_offload(results):

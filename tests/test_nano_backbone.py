@@ -68,3 +68,28 @@ def test_remat_matches():
     out2 = nano_forward(params, CFG, input_ids=ids, remat=True)
     np.testing.assert_allclose(np.asarray(out1["logits"]),
                                np.asarray(out2["logits"]), rtol=1e-5, atol=1e-5)
+
+
+def test_remat_policies_grads_identical():
+    """Every remat_policy computes the SAME gradients — a policy only
+    changes what the backward rebuild recomputes vs reads back (the
+    measured throughput A/B lives in BENCH_SUITE train_fwdbwd rows)."""
+    params = init_nano_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(5), (1, 32), 0, CFG.vocab_size)
+
+    def loss(p, pol):
+        out = nano_forward(p, CFG, input_ids=ids, remat=True,
+                           remat_policy=pol)
+        lp = jax.nn.log_softmax(out["logits"][:, :-1], axis=-1)
+        return -jnp.take_along_axis(lp, ids[:, 1:, None], axis=-1).mean()
+
+    ref = jax.grad(lambda p: loss(p, "full"))(params)
+    for pol in ("scan", "dots", "dots_scan"):
+        g = jax.grad(lambda p, pol=pol: loss(p, pol))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), ref, g)
+    # the string-threaded form (remat="dots") is the same as the kwarg
+    g2 = jax.grad(lambda p: nano_forward(
+        p, CFG, input_ids=ids, remat="dots")["logits"].sum())(params)
+    assert jax.tree_util.tree_structure(g2) == jax.tree_util.tree_structure(ref)

@@ -32,6 +32,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from timeviper_tpu.config import NanoConfig
 from timeviper_tpu.ops.attention import attention, make_attention_mask
@@ -302,6 +303,10 @@ def mamba_mixer_forward(
     if fill_cache:
         new_cache["ssm_state"] = final_state
     y = y.reshape(B, L, d_inner)
+    # named for the "scan" remat policy: saving the SSD output (the one
+    # non-matmul heavyweight) lets the backward rebuild skip re-running
+    # the chunked scan while wide matmul outputs stay rematerialized
+    y = checkpoint_name(y, "ssd_out")
     y = gated_rms_norm(
         y, gate, p["norm"]["weight"], eps=cfg.layer_norm_epsilon,
         group_size=d_inner // G,
@@ -418,6 +423,8 @@ def attention_mixer_forward(
         out = flash_attention(q, k, v, segment_ids=segment_ids, causal=True)
     else:
         out = attention(q, k, v, attn_mask)
+    # named for the "scan" remat policy (see mamba_mixer_forward)
+    out = checkpoint_name(out, "attn_out")
     out = _apply_linear(p["o_proj"], out.reshape(B, L, Hq * hd))
 
     new_cache = None
@@ -531,6 +538,24 @@ def _block_forward(
     return residual + out, new_cache
 
 
+def _remat_wrap(fwd, remat_policy: str):
+    cp = jax.checkpoint_policies
+    if remat_policy == "dots":
+        return jax.checkpoint(
+            fwd, policy=cp.dots_with_no_batch_dims_saveable)
+    if remat_policy == "scan":
+        return jax.checkpoint(
+            fwd, policy=cp.save_only_these_names("ssd_out", "attn_out"))
+    if remat_policy == "dots_scan":
+        return jax.checkpoint(
+            fwd, policy=cp.save_from_both_policies(
+                cp.dots_with_no_batch_dims_saveable,
+                cp.save_only_these_names("ssd_out", "attn_out")))
+    if remat_policy != "full":
+        raise ValueError(f"unknown remat_policy {remat_policy!r}")
+    return jax.checkpoint(fwd)
+
+
 def nano_forward(
     params: Dict[str, Any],
     cfg: NanoConfig,
@@ -547,14 +572,30 @@ def nano_forward(
     logits_to_keep: int = 0,
     valid_from: int = 0,
     fused_conv: bool = False,
+    remat_policy: str = "full",
 ):
     """Full-sequence forward (training / prefill).
+
+    `remat_policy` (with remat=True; `remat` may also BE the policy
+    string, which threads it through the bool-typed call chains): "full"
+    saves only block inputs — minimum memory, the whole block recomputes
+    in backward; "scan" also saves each mixer's named output
+    (ssd_out / attn_out), so the backward rebuild skips re-running the
+    chunked SSD scan and flash attention; "dots" saves every
+    no-batch-dim matmul output (XLA's checkpoint_dots); "dots_scan"
+    both. Measured at 13L/hidden-4096/L=8192 on one v5e
+    (BENCH_SUITE train_fwdbwd rows): full 9.87k tok/s, scan +1.7%,
+    dots +14.5% — grads bit-identical across policies. Reference seam:
+    the gradient_checkpointing flag on the HF trainer
+    (hf_mtask_trainer args), which only has the all-or-nothing mode.
 
     Returns dict with `hidden_states`, `logits`, and when `fill_cache` a
     `cache` pytree ready for decode; when `pdrop_spec` is given, also the
     pdrop-updated `labels` (reference returns updated labels the same way,
     modeling_nano.py:2425-2446).
     """
+    if isinstance(remat, str):
+        remat, remat_policy = True, remat
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embeddings"], input_ids, axis=0)
     hidden = inputs_embeds
@@ -601,7 +642,7 @@ def nano_forward(
             )
 
         if remat and not fill_cache:
-            fwd = jax.checkpoint(fwd)
+            fwd = _remat_wrap(fwd, remat_policy)
         hidden, layer_cache = fwd(layer_params, hidden, seq_idx, attn_mask)
         if (fill_cache and pdrop_spec is not None
                 and block_type == "attention" and layer_cache is not None):

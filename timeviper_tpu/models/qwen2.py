@@ -99,6 +99,10 @@ def _attn_forward(p, cfg, x, cos, sin, attn_mask, fill_cache, max_len):
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     out = attention(q, k, v, attn_mask)
+    # named for the "scan"/"dots_scan" remat policies (models/nano.py)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "attn_out")
     out = _apply_linear(p["o_proj"], out.reshape(B, L, Hq * hd))
     new_cache = None
     if fill_cache:
@@ -209,7 +213,10 @@ def qwen2_forward(
             return res + _mlp_forward(lp_["mlp"], n), lc
 
         if remat and not fill_cache:
-            block = jax.checkpoint(block)
+            from timeviper_tpu.models.nano import _remat_wrap
+
+            block = _remat_wrap(
+                block, remat if isinstance(remat, str) else "full")
         hidden, lc = block(lp, hidden)
         new_layers.append(lc if lc is not None else {})
 

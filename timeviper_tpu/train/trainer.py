@@ -57,6 +57,11 @@ class TrainerConfig:
     fsdp_params: bool = True
     # behavior
     remat: bool = True
+    # "full" | "scan" | "dots" | "dots_scan" — what the per-block remat
+    # saves (models/nano.py:_remat_wrap; measured A/B in BENCH_SUITE
+    # train_fwdbwd rows: dots +14.5% tokens/sec at the 9B-width shape
+    # for ~the matmul outputs' worth of extra activation memory)
+    remat_policy: str = "full"
     use_pdrop: bool = False
     trainable_modules: Optional[str] = None  # comma substrings; None = all
     # LoRA/QLoRA mode: params must carry lora_a/lora_b factors (add_lora);
@@ -121,6 +126,15 @@ class Trainer:
 
     # -- jit cache keyed by fusion plan (static shapes per plan) ---------
 
+    @property
+    def _remat_arg(self):
+        """remat arg for the step builders: False, True ("full"), or the
+        policy string (nano_forward accepts either form)."""
+        if not self.cfg.remat:
+            return False
+        return (self.cfg.remat_policy
+                if self.cfg.remat_policy != "full" else True)
+
     def _plan_key(self, plan):
         return plan.cache_key  # FusionPlan tuple | HeteroPlan (hashable)
 
@@ -132,13 +146,13 @@ class Trainer:
 
                 step = make_lora_train_step(
                     self.arch, self.tx, plan,
-                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                    use_pdrop=self.cfg.use_pdrop, remat=self._remat_arg,
                     trainable_modules=self.cfg.trainable_modules,
                 )
             else:
                 step = make_train_step(
                     self.arch, self.tx, plan,
-                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                    use_pdrop=self.cfg.use_pdrop, remat=self._remat_arg,
                 )
             self._step_fns[key] = jax.jit(step, donate_argnums=(0,))
         return self._step_fns[key]
@@ -151,13 +165,13 @@ class Trainer:
 
                 grad = make_lora_grad_step(
                     self.arch, plan,
-                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                    use_pdrop=self.cfg.use_pdrop, remat=self._remat_arg,
                     trainable_modules=self.cfg.trainable_modules,
                 )
             else:
                 grad = make_grad_step(
                     self.arch, plan,
-                    use_pdrop=self.cfg.use_pdrop, remat=self.cfg.remat,
+                    use_pdrop=self.cfg.use_pdrop, remat=self._remat_arg,
                 )
             self._step_fns[key] = jax.jit(grad)
         return self._step_fns[key]
