@@ -33,6 +33,41 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_WHOLE_FRAME_T = 1280
 
 
+def _use_fast_exp() -> bool:
+    import os
+
+    return os.environ.get("TIMEVIPER_VIT_FAST_EXP", "0") == "1"
+
+
+def _softmax_exp(s, clamp_hi: float):
+    """exp over the (rows, T) score tile.
+
+    TIMEVIPER_VIT_FAST_EXP=1 swaps the hardware exp for the
+    exponent-bitcast exp2 split
+        exp(s) = 2^(s·log2e) = 2^i · 2^f,  i = floor, f ∈ [0, 1)
+    with 2^i built by integer insertion into the f32 exponent field and
+    2^f a degree-4 Taylor polynomial (max rel err 6.7e-4 — below the
+    kernels' own bf16 probability cast). Measured SLOWER on-chip
+    (encode 19.08 s vs 17.3 s at the 5k-frame bench; e2e 189.0 vs
+    202.9 f/s): Mosaic's native exp outruns the ~11-op fma/convert/
+    shift chain on the v5e VPU, so this ships default OFF — recorded
+    A/B, same discipline as the fused conv+scan and fused-LN kernels.
+    The lower clamp keeps i+127 >= 1 so the bitcast never denormalizes
+    (exp(-86) ≈ 4e-38 ≈ 0 is exact enough for a softmax numerator).
+    """
+    if not _use_fast_exp():
+        return jnp.exp(jnp.minimum(s, clamp_hi))
+    x = jnp.clip(s, -86.0, clamp_hi) * 1.4426950408889634
+    i = jnp.floor(x)
+    f = x - i
+    p = 1.0 + f * (0.6931471805599453 + f * (
+        0.2402265069591007 + f * (
+            0.05550410866482158 + f * 0.009618129107628477)))
+    e = jax.lax.bitcast_convert_type(
+        (i.astype(jnp.int32) + 127) << 23, jnp.float32)
+    return e * p
+
+
 def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
                      heads: int):
     # refs: (heads, T, D). Several heads per program: a single-head program
@@ -60,15 +95,23 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
     # < -87) yields 0/eps ≈ 0 rather than NaN via the 1e-30 floor.
     T = q_ref.shape[1]
     D = v_ref.shape[2]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    colmask = (jj < t_valid).astype(jnp.float32)
+    # column masking only when T is actually padded: the mask multiply is
+    # a full (T, T) VPU pass per head — pure waste when every column is
+    # valid (the SigLIP whole-frame case, t_valid == T == 729)
+    masked = t_valid < T
+    if masked:
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        colmask = (jj < t_valid).astype(jnp.float32)
     ones8 = jnp.ones((T, 8), q_ref.dtype)
     for h in range(heads):
         s = jax.lax.dot_general(
             q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (T, T)
-        p = (jnp.exp(jnp.minimum(s, 75.0)) * colmask).astype(q_ref.dtype)
+        p = _softmax_exp(s, 75.0)
+        if masked:
+            p = p * colmask
+        p = p.astype(q_ref.dtype)
         # fold the row sum into the PV matmul: appending a ones column to
         # v makes column D of the product the row sum l, for free — the
         # MXU pads N to a 128 multiple either way. A separate p@ones dot
@@ -150,8 +193,10 @@ def _vit_attn_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
     # output; each is attended independently. Same one-pass clamped
     # softmax as _vit_attn_kernel (see that kernel's comment).
     T = k_ref.shape[0]
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
-    colmask = (jj < t_valid).astype(jnp.float32)
+    masked = t_valid < T  # see _vit_attn_kernel: skip the all-ones mask
+    if masked:
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+        colmask = (jj < t_valid).astype(jnp.float32)
     ones8 = jnp.ones((T, 8), q_ref.dtype)
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -160,7 +205,10 @@ def _vit_attn_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
             qh, k_ref[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (TR, T)
-        p = (jnp.exp(jnp.minimum(s, 75.0)) * colmask).astype(q_ref.dtype)
+        p = _softmax_exp(s, 75.0)
+        if masked:
+            p = p * colmask
+        p = p.astype(q_ref.dtype)
         # row sum folded into the PV matmul via a ones column (see
         # _vit_attn_kernel): 15.3 -> 11.8 ms/layer at SigLIP clip shapes
         vv = jnp.concatenate([v_ref[:, sl], ones8], axis=1)
