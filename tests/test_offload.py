@@ -87,7 +87,12 @@ def test_host_adamw_matches_optax_moments():
     g = {"w": np.array([0.1, -0.2, 0.3], np.float32)}
     opt = HostAdamW(p, lr=1e-2, weight_decay=0.01)
 
-    pj = {"w": jnp.asarray(p["w"])}
+    # copy() matters: on the CPU backend jnp.asarray zero-copy aliases
+    # the numpy buffer, and HostAdamW mutates p["w"] IN PLACE — without
+    # the copy this test flaked under load with the optax side reading
+    # post-update values (exactly the hazard train/offload.py:_stage
+    # guards against in the production path)
+    pj = {"w": jnp.asarray(p["w"].copy())}
     tx = optax.adamw(1e-2, weight_decay=0.01)
     st = tx.init(pj)
     for _ in range(3):

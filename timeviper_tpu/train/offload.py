@@ -43,6 +43,21 @@ def _tree_map_np(fn, *trees):
     return jax.tree_util.tree_map(fn, *trees)
 
 
+def _stage(x, dtype):
+    """Host numpy -> device array WITHOUT aliasing the host buffer.
+
+    On the CPU backend `jnp.asarray` zero-copies a same-dtype numpy
+    array, so the device array would alias memory that `HostAdamW`
+    later mutates IN PLACE — with async dispatch the computation can
+    read post-update values (observed as a flaky one-extra-step drift
+    in tests/test_offload.py under load). An owned `np.array(copy=True)`
+    temp is safe to alias: nothing mutates it after staging. The copy is
+    free for dtype-converting stagings (f32 host -> bf16 compute already
+    copies) and only matters when compute_dtype matches the host dtype.
+    """
+    return jnp.asarray(np.array(x, copy=True), dtype)
+
+
 class HostAdamW:
     """AdamW on host numpy, matching optax.adamw's update exactly."""
 
@@ -195,13 +210,12 @@ class StreamedTrainer:
         # the optimizer's timestep advances ONCE per step for every leaf
         self.opt.step += 1
 
-        emb_dev = jax.device_put(
-            jnp.asarray(host["embeddings"], self.dtype))
+        emb_dev = jax.device_put(_stage(host["embeddings"], self.dtype))
         ids_dev = jax.device_put(jnp.asarray(input_ids, jnp.int32))
         h = jnp.take(emb_dev, ids_dev, axis=0)
 
         push = functools.partial(_tree_map_np,
-                                 lambda x: jnp.asarray(x, self.dtype))
+                                 lambda x: _stage(x, self.dtype))
         kinds = tuple(cfg.layers_block_type)
         hiddens: List[Any] = [h]
         for i, bt in enumerate(kinds):
@@ -215,9 +229,9 @@ class StreamedTrainer:
         tied = head_table is None
         table_host = host["embeddings"] if tied else head_table
         table_dev = emb_dev if tied else jax.device_put(
-            jnp.asarray(table_host, self.dtype))
+            _stage(table_host, self.dtype))
         loss, g_norm, g_table, dh = self._head()(
-            jnp.asarray(host["norm_f"]["weight"], jnp.float32),
+            _stage(host["norm_f"]["weight"], jnp.float32),
             (table_dev if tied else table_dev.T),
             hiddens[-1], jax.device_put(jnp.asarray(labels, jnp.int32)))
 
