@@ -167,12 +167,18 @@ def bench_decode_spec(results):
     # successor rig: argmax after token i is (i+1) % v_cyc, full weights.
     # v_cyc=16 + cyclic prompt => drafts always correct (full accept);
     # v_cyc=vocab + an ascending prompt => no bigram ever recurs, so the
-    # proposer never fires (zero accept). Mixer out-projections zeroed in
-    # both — the int8 weight tensors keep their 9B footprint either way.
+    # proposer never fires (zero accept). ALL mixer out-projections
+    # (mamba out_proj, attention o_proj, MLP down_proj) zeroed in both,
+    # so the residual stream carries the one-hot embedding untouched and
+    # the successor argmax survives int8 noise on-chip — the first
+    # version left down_proj live and its noise broke acceptance on the
+    # real chip (full-accept measured 0.96x). The int8 weight tensors
+    # keep their 9B footprint either way, so per-pass HBM traffic and
+    # kernel timings stay the real ones.
     D = cfg.hidden_size
     for layer in params["layers"]:
         mix = layer["mixer"]
-        for name in ("out_proj", "o_proj"):
+        for name in ("out_proj", "o_proj", "down_proj"):
             if name in mix and "kernel_q" in mix[name]:
                 mix[name]["kernel_q"] = jnp.zeros_like(mix[name]["kernel_q"])
     params = jax.block_until_ready(params)
@@ -230,6 +236,14 @@ def bench_decode_spec(results):
             "speedup": round(dt_plain / dt * n0 / max_new, 2),
             "emitted": n0, "n_draft": n_draft,
         })
+        # free this case's prefill cache + executables before the next
+        # one: leaving them resident next to ~9 GB of weights measured a
+        # 300x timing collapse on the second case (the standalone rerun
+        # of the same case read 78 tok/s)
+        del pre, first, cache, spec, plain
+        import gc
+
+        gc.collect()
 
     run_case("full_accept", rig(16),
              jnp.asarray(np.arange(P) % 16, jnp.int32))
