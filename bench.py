@@ -427,9 +427,16 @@ def _rescue_reexec() -> bool:
     for stage in stages:
         env = dict(os.environ, BENCH_RESCUE="1", BENCH_STREAM="0", **stage)
         print(f"[bench] rescue re-exec with {stage}", file=sys.stderr)
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            # a hung stage (compile livelock near the HBM ceiling) must
+            # not kill the rescue: move on to the next, leaner stage
+            print(f"[bench] rescue stage timed out: {stage}",
+                  file=sys.stderr)
+            continue
         sys.stderr.write(proc.stderr)
         out = [ln for ln in proc.stdout.splitlines()
                if ln.startswith("{")]
@@ -459,12 +466,16 @@ def main():
         return
     try:
         bench_e2e()
-    except Exception:  # noqa: BLE001 - emit a number or die trying
+    except Exception as e:  # noqa: BLE001 - emit a number or die trying
         import sys
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        if os.environ.get("BENCH_RESCUE") == "1" or not _rescue_reexec():
+        # rescue only memory exhaustion: a deterministic bug would fail
+        # all three stages identically and just delay the real traceback
+        # by three compile cycles
+        if (os.environ.get("BENCH_RESCUE") == "1" or not _is_oom(e)
+                or not _rescue_reexec()):
             raise
 
 

@@ -54,11 +54,24 @@ def test_stem_match_scores_between_zero_and_exact():
     assert stem == pytest.approx(expected)
 
 
-def test_synonym_match_weight():
+def _force_bundled_table(monkeypatch):
+    """Pin the synonym source to the bundled table: on a machine with
+    nltk's WordNet corpus installed _synonym_groups would pick WordNet
+    and the exact-value assertions below would depend on its synsets."""
+    import timeviper_tpu.eval.meteor_py as mp
+
+    groups = mp._groups_from_lines(
+        [ln.split() for ln in mp._CORE_SYNONYM_GROUPS.splitlines()
+         if ln.strip()])
+    monkeypatch.setattr(mp, "_synonym_groups", lambda: groups)
+
+
+def test_synonym_match_weight(monkeypatch):
     """'slice' ~ 'chop' share a bundled synonym group (different stems),
     so the synonym stage (weight 0.8) fires: between stem and exact."""
     from timeviper_tpu.eval.meteor_py import W_SYN
 
+    _force_bundled_table(monkeypatch)
     exact = sentence_score("person chop onions", ["person chop onions"])
     syn = sentence_score("person slice onions", ["person chop onions"])
     stem_w = sentence_score("person chopping onions", ["person chop onions"])
@@ -70,6 +83,8 @@ def test_synonym_match_weight():
 
 
 def test_synonym_table_from_env_file(tmp_path, monkeypatch):
+    import pytest
+
     import timeviper_tpu.eval.meteor_py as mp
 
     f = tmp_path / "syn.txt"
@@ -77,8 +92,15 @@ def test_synonym_table_from_env_file(tmp_path, monkeypatch):
     monkeypatch.setenv("TIMEVIPER_METEOR_SYNONYMS", str(f))
     mp._synonym_groups.cache_clear()
     try:
-        assert mp._are_synonyms("glorbix", "fnuzzle")
+        with pytest.warns(UserWarning, match="synonym table: file"):
+            assert mp._are_synonyms("glorbix", "fnuzzle")
         assert not mp._are_synonyms("glorbix", "onions")
+        # a set-but-missing path must error, not silently fall through
+        monkeypatch.setenv("TIMEVIPER_METEOR_SYNONYMS",
+                           str(tmp_path / "nope.txt"))
+        mp._synonym_groups.cache_clear()
+        with pytest.raises(FileNotFoundError):
+            mp._are_synonyms("glorbix", "fnuzzle")
     finally:
         mp._synonym_groups.cache_clear()
 
@@ -91,6 +113,7 @@ def test_synonym_stage_effect_bounded_on_caption_corpus(monkeypatch):
     by more than the stage weight itself."""
     import timeviper_tpu.eval.meteor_py as mp
 
+    _force_bundled_table(monkeypatch)
     pairs = [
         ("put the meat in the pan", "place the beef in the skillet"),
         ("cut the onions into pieces", "slice the onions into chunks"),

@@ -86,9 +86,14 @@ def test_remat_policies_grads_identical():
     ref = jax.grad(lambda p: loss(p, "full"))(params)
     for pol in ("scan", "dots", "dots_scan"):
         g = jax.grad(lambda p, pol=pol: loss(p, pol))(params)
+        # allclose, not array_equal: XLA may fuse saved-vs-recomputed
+        # chains differently across backends/versions; the invariant is
+        # same-function, not same-rounding (today's CPU run IS bitwise
+        # equal, but that is not a guarantee worth pinning)
         jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b)), ref, g)
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+            ref, g)
     # the string-threaded form (remat="dots") is the same as the kwarg
     g2 = jax.grad(lambda p: nano_forward(
         p, CFG, input_ids=ids, remat="dots")["logits"].sum())(params)

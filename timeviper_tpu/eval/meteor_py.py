@@ -170,28 +170,44 @@ maybe perhaps possibly
 @functools.lru_cache(maxsize=1)
 def _synonym_groups() -> Dict[str, frozenset]:
     """token -> frozenset of group ids. Sources in priority order:
-    env-pointed file, nltk WordNet, bundled core table."""
+    env-pointed file, nltk WordNet, bundled core table. The chosen
+    source is announced once (scores depend on it — a silent
+    machine-dependent table would make METEOR/SODA numbers
+    incomparable across machines); a set-but-missing env path is an
+    ERROR, not a silent fallthrough to a different table."""
     import os
+    import warnings
 
     path = os.environ.get("TIMEVIPER_METEOR_SYNONYMS")
-    if path and os.path.exists(path):
+    if path:
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"TIMEVIPER_METEOR_SYNONYMS={path!r} does not exist — "
+                "refusing to silently score with a different synonym "
+                "table")
         with open(path) as f:
             lines = [ln.split() for ln in f if ln.strip()]
+        warnings.warn(f"METEOR synonym table: file {path}", stacklevel=2)
         return _groups_from_lines(lines)
     try:  # WordNet corpus, if some environment provides it
         from nltk.corpus import wordnet as wn
 
         wn.synsets("test")  # raises LookupError when the corpus is absent
 
+        @functools.lru_cache(maxsize=65536)
+        def _synsets(tok):
+            return frozenset(s.name() for s in wn.synsets(tok))
+
         class _WN:
             def __contains__(self, _):
                 return True
 
             def __getitem__(self, tok):
-                return frozenset(s.name() for s in wn.synsets(tok))
+                return _synsets(tok)
 
+        warnings.warn("METEOR synonym table: nltk WordNet", stacklevel=2)
         return _WN()  # type: ignore[return-value]
-    except Exception:
+    except (LookupError, ImportError):
         pass
     return _groups_from_lines(
         [ln.split() for ln in _CORE_SYNONYM_GROUPS.splitlines()

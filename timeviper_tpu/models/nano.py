@@ -585,7 +585,7 @@ def nano_forward(
     no-batch-dim matmul output (XLA's checkpoint_dots); "dots_scan"
     both. Measured at 13L/hidden-4096/L=8192 on one v5e
     (BENCH_SUITE train_fwdbwd rows): full 9.87k tok/s, scan +1.7%,
-    dots +14.5% — grads bit-identical across policies. Reference seam:
+    dots +14.5% — gradients identical across policies (bitwise on the CPU test). Reference seam:
     the gradient_checkpointing flag on the HF trainer
     (hf_mtask_trainer args), which only has the all-or-nothing mode.
 

@@ -53,7 +53,12 @@ def _softmax_exp(s, clamp_hi: float):
     shift chain on the v5e VPU, so this ships default OFF — recorded
     A/B, same discipline as the fused conv+scan and fused-LN kernels.
     The lower clamp keeps i+127 >= 1 so the bitcast never denormalizes
-    (exp(-86) ≈ 4e-38 ≈ 0 is exact enough for a softmax numerator).
+    (exp(-86) ≈ 4e-38 ≈ 0 is exact enough for a softmax numerator) —
+    with the caveat that a row whose every logit underflows then sums
+    to ~T·4e-38 > the PV row-sum floor (1e-30), so such a degenerate
+    row returns ~the mean of V instead of the exact-path's 0. No real
+    ViT hits all-(-87) logit rows; noted because the kernels' own
+    comments promise the 0 behavior for the exact path.
     """
     if not _use_fast_exp():
         return jnp.exp(jnp.minimum(s, clamp_hi))
@@ -95,9 +100,12 @@ def _vit_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
     # < -87) yields 0/eps ≈ 0 rather than NaN via the 1e-30 floor.
     T = q_ref.shape[1]
     D = v_ref.shape[2]
-    # column masking only when T is actually padded: the mask multiply is
-    # a full (T, T) VPU pass per head — pure waste when every column is
-    # valid (the SigLIP whole-frame case, t_valid == T == 729)
+    # column masking only when columns are actually padded. In THIS
+    # kernel the wrapper pads T to a 128 multiple (729 -> 768), so the
+    # mask is live for SigLIP; the skip fires only for naturally-aligned
+    # token counts. (On-chip A/B of the skip: neutral — Mosaic fuses
+    # the mask multiply into the exp traversal — kept as the cleaner
+    # formulation.)
     masked = t_valid < T
     if masked:
         jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
@@ -193,7 +201,10 @@ def _vit_attn_qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, t_valid: int,
     # output; each is attended independently. Same one-pass clamped
     # softmax as _vit_attn_kernel (see that kernel's comment).
     T = k_ref.shape[0]
-    masked = t_valid < T  # see _vit_attn_kernel: skip the all-ones mask
+    # in THIS kernel T is the caller's true token count (no T padding),
+    # so t_valid == T today and the mask branch is defensive only — it
+    # becomes live if a future caller routes a padded layout through
+    masked = t_valid < T
     if masked:
         jj = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
         colmask = (jj < t_valid).astype(jnp.float32)

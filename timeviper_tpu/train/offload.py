@@ -50,12 +50,16 @@ def _stage(x, dtype):
     array, so the device array would alias memory that `HostAdamW`
     later mutates IN PLACE — with async dispatch the computation can
     read post-update values (observed as a flaky one-extra-step drift
-    in tests/test_offload.py under load). An owned `np.array(copy=True)`
-    temp is safe to alias: nothing mutates it after staging. The copy is
-    free for dtype-converting stagings (f32 host -> bf16 compute already
-    copies) and only matters when compute_dtype matches the host dtype.
+    in tests/test_offload.py under load). An owned copy is safe to
+    alias: nothing mutates it after staging. Only same-dtype stagings
+    can alias, so only they pay the host memcpy; the common f32-host ->
+    bf16-compute staging already allocates a fresh buffer in the
+    conversion and is passed through untouched.
     """
-    return jnp.asarray(np.array(x, copy=True), dtype)
+    x = np.asarray(x)
+    if x.dtype == np.dtype(dtype):
+        x = np.array(x, copy=True)
+    return jnp.asarray(x, dtype)
 
 
 class HostAdamW:
