@@ -17,12 +17,23 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-5) -> jax.Array:
     """RMSNorm with float32 statistics; returns input dtype.
 
     y = weight * x / sqrt(mean(x^2) + eps), mean over the last axis.
+
+    Like `gated_rms_norm` below, the low-precision path keeps only the
+    variance REDUCTION in f32 (the cast fuses into the reduce) and the
+    elementwise apply in the input dtype: the f32-everything version made
+    XLA materialize full-width f32 temporaries — measured 202 ms of a
+    1195 ms 52-layer W8A8 prefill at L=16k (scripts/ablate_prefill.py),
+    ~5x the HBM floor for what is two reads and a write. The reference
+    norm (modeling_nano.py:898-903) upcasts everything, but its output is
+    cast straight back to bf16, so the extra f32 elementwise precision is
+    rounded away; parity suites hold unchanged.
     """
-    dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-    y = xf * jax.lax.rsqrt(var + eps)
-    return (weight.astype(jnp.float32) * y).astype(dtype)
+    if x.dtype == jnp.float32:
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        return weight.astype(jnp.float32) * (x * jax.lax.rsqrt(var + eps))
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return (x * scale) * weight.astype(x.dtype)
 
 
 def gated_rms_norm(
@@ -65,7 +76,33 @@ def gated_rms_norm(
     xz = x
     if gate is not None:
         xz = x * (gate * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(dtype))
-    xg = xz.reshape(*x.shape[:-1], d // group_size, group_size)
+
+    n_groups = d // group_size
+    if n_groups > 1 and jax.default_backend() in ("tpu", "axon"):
+        # Grouped statistics WITHOUT reshaping: splitting the minor
+        # (lane) dim (L, d) -> (L, G, d/G) relayouts every tile, and the
+        # round-trip dominated the op — measured 7.56 ms/op at
+        # (16k, 8192, G=8) vs 2.96 ms for this one-hot-matmul form (60x
+        # the plain-RMSNorm HBM floor, ~200 ms of a 1.2 s 52-layer W8A8
+        # prefill at L=16k; /tmp-probe recorded in scripts/ablate_prefill
+        # docstring). Same trick as the ToMe one-hot merge (ops/tome.py):
+        # group-sum = matmul by a constant selector, which rides the MXU
+        # and keeps the array in its native layout. bf16 products enter a
+        # f32 accumulator (MXU multiplies are exact in f32), so accuracy
+        # matches the reshape path bit-for-bit-close (identical rms error
+        # vs the exact-f32 oracle at the 9B shape).
+        sel = (jnp.arange(d)[:, None] // group_size
+               == jnp.arange(n_groups)[None, :]).astype(dtype)
+        sq = xz * xz
+        var = jax.lax.dot_general(
+            sq, sel, (((xz.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) / group_size
+        scale = jax.lax.rsqrt(var + eps).astype(dtype)
+        scale_full = jax.lax.dot_general(
+            scale, sel.T, (((xz.ndim - 1,), (0,)), ((), ())))
+        return (xz * scale_full) * weight.astype(dtype)
+
+    xg = xz.reshape(*x.shape[:-1], n_groups, group_size)
     var = jnp.mean(jnp.square(xg.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jax.lax.rsqrt(var + eps)
     y = (xg * scale.astype(dtype)).reshape(x.shape)
