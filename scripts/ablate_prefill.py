@@ -38,7 +38,8 @@ STEPS = int(os.environ.get("ABLATE_STEPS", 3))
 full_pat = "M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M*-M-M-M-M-M-"
 pattern = (full_pat * (n_layers // len(full_pat) + 1))[:n_layers]
 cfg = NanoConfig(num_hidden_layers=n_layers, hybrid_override_pattern=pattern,
-                 vocab_size=2048)
+                 vocab_size=2048,
+                 chunk_size=int(os.environ.get("ABLATE_CHUNK", 256)))
 
 
 def _sync(a):

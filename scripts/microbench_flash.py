@@ -72,8 +72,8 @@ def run_blk(bq, bk):
     results[f"blk_q{bq}_k{bk}_tfs"] = round(flops / (ms / 1e3) / 1e12, 1)
 
 
-for bq, bk in ((512, 512), (1024, 512), (512, 1024), (1024, 1024),
-               (2048, 512), (1024, 2048), (2048, 1024)):
+for bq, bk in tuple(eval(os.environ.get('MB_BLOCKS',
+        '((512,512),(1024,512),(512,1024),(1024,1024),(2048,512),(1024,2048),(2048,1024))'))):
     if L % bq == 0 and L % bk == 0:
         try:
             run_blk(bq, bk)

@@ -79,8 +79,17 @@ def flash_attention(
     if segment_ids is not None:
         seg = SegmentIds(q=segment_ids, kv=segment_ids)
     blk = _BLOCK if Lq % _BLOCK == 0 else 256
+    # Forward blocks larger than the 512 default: measured at the
+    # headline 80k shape (scripts/microbench_flash.py, L=81920 Hq=32
+    # D=128 causal), (block_q=2048, block_k=1024) runs 130.2 TF/s vs
+    # 112.7 at (512, 512) — 13% off the four attention layers' share of
+    # the 80k prefill. Anything larger fails Mosaic's VMEM budget. The
+    # BACKWARD blocks stay at `blk`: the dkv/dq passes were tuned with
+    # the train-step A/Bs and keep their measured operating point.
+    bq = next((b for b in (2048, 1024, 512, 256) if Lq % b == 0), blk)
+    bk = next((b for b in (1024, 512, 256) if Lk % b == 0), blk)
     sizes = BlockSizes(
-        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk,
         block_k_dkv=blk, block_q_dkv=blk,
         block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
