@@ -1085,6 +1085,24 @@ def check_onchip(results):
             gparams, emb, pre2["cache"])
         _cmp(name, lg.reshape(1, -1), full2[:, -1], 3e-2)
 
+    # --- gated RMSNorm one-hot-matmul grouping (the TPU-only fast path;
+    # CPU tests never exercise it) vs the exact-f32 reshape oracle ---
+    from timeviper_tpu.ops.norms import gated_rms_norm, rms_norm
+
+    Ln, Dg, Gg = 4096, 8192, 8
+    kg = jax.random.split(jax.random.PRNGKey(16), 3)
+    xg = jax.random.normal(kg[0], (1, Ln, Dg), jnp.bfloat16)
+    gg = jax.random.normal(kg[1], (1, Ln, Dg), jnp.bfloat16)
+    wg = (jax.random.normal(kg[2], (Dg,)) * 0.2 + 1.0).astype(jnp.float32)
+    _cmp("gated_norm_mm_vs_f32",
+         jax.jit(lambda x, g: gated_rms_norm(
+             x, g, wg, group_size=Dg // Gg))(xg, gg),
+         gated_rms_norm(xg.astype(jnp.float32), gg.astype(jnp.float32),
+                        wg, group_size=Dg // Gg), 2e-2)
+    _cmp("rms_norm_bf16_vs_f32",
+         jax.jit(lambda x: rms_norm(x, wg))(xg),
+         rms_norm(xg.astype(jnp.float32), wg), 2e-2)
+
     if failures:
         for r in results:
             print(json.dumps(r))

@@ -11,6 +11,7 @@ Run on the TPU: `PYTHONPATH=. python scripts/ablate_prefill.py`.
 Env: ABLATE_SEQ (16384), ABLATE_LAYERS (52), ABLATE_STEPS (3),
 ABLATE_VARIANTS (comma list to restrict).
 """
+import functools
 import json
 import os
 import time
@@ -66,7 +67,12 @@ jax.block_until_ready(params)
 
 
 def make_prefill(p):
-    @jax.jit
+    copts = None
+    if os.environ.get("ABLATE_VMEM_KIB"):
+        copts = {"xla_tpu_scoped_vmem_limit_kib":
+                 int(os.environ["ABLATE_VMEM_KIB"])}
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def prefill(params, embeds):
         return nano.nano_forward(params, cfg, inputs_embeds=embeds,
                                  logits_to_keep=1)["logits"]
