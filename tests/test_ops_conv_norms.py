@@ -82,3 +82,39 @@ def test_gated_group_rms_norm():
     xg = (x * silu(g)).reshape(3, 3, 8)
     ref = (xg / np.sqrt((xg ** 2).mean(-1, keepdims=True) + 1e-5)).reshape(3, 24) * w
     np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gated_rms_norm_mm_impl_matches_reshape():
+    """The one-hot-matmul grouping (the TPU fast path; auto-selected only
+    on tpu/axon backends, so the CPU suite must force it) computes the
+    same function as the reshape path and the exact-f32 oracle."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 17, 64).astype(np.float32)
+    g = rng.randn(2, 17, 64).astype(np.float32)
+    w = rng.randn(64).astype(np.float32)
+
+    # bf16 inputs: mm vs reshape must agree within bf16 noise
+    xb, gb = jnp.asarray(x, jnp.bfloat16), jnp.asarray(g, jnp.bfloat16)
+    y_mm = gated_rms_norm(xb, gb, jnp.asarray(w), group_size=16, impl="mm")
+    y_rs = gated_rms_norm(xb, gb, jnp.asarray(w), group_size=16,
+                          impl="reshape")
+    np.testing.assert_allclose(
+        np.asarray(y_mm, np.float32), np.asarray(y_rs, np.float32),
+        rtol=0.05, atol=0.05)
+
+    # and both track the exact-f32 path
+    y_f32 = gated_rms_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(w),
+                           group_size=16)
+    err = np.sqrt(np.mean((np.asarray(y_mm, np.float32)
+                           - np.asarray(y_f32)) ** 2)
+                  / np.mean(np.asarray(y_f32) ** 2))
+    assert err < 0.02, err
+
+    # gradients flow through the selector matmuls (training uses this path)
+    def loss(xx):
+        return (gated_rms_norm(xx, gb.astype(jnp.float32),
+                               jnp.asarray(w), group_size=16,
+                               impl="mm") ** 2).mean()
+
+    gr = jax.grad(loss)(jnp.asarray(x))
+    assert np.isfinite(np.asarray(gr)).all()

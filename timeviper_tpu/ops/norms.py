@@ -42,6 +42,7 @@ def gated_rms_norm(
     weight: jax.Array,
     eps: float = 1e-5,
     group_size: int | None = None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Gated group RMSNorm: ``rmsnorm(x * silu(gate))`` with per-group stats.
 
@@ -78,7 +79,9 @@ def gated_rms_norm(
         xz = x * (gate * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(dtype))
 
     n_groups = d // group_size
-    if n_groups > 1 and jax.default_backend() in ("tpu", "axon"):
+    use_mm = (jax.default_backend() in ("tpu", "axon") if impl == "auto"
+              else impl == "mm")
+    if n_groups > 1 and use_mm:
         # Grouped statistics WITHOUT reshaping: splitting the minor
         # (lane) dim (L, d) -> (L, G, d/G) relayouts every tile, and the
         # round-trip dominated the op — measured 7.56 ms/op at
