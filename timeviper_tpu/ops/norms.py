@@ -79,8 +79,14 @@ def gated_rms_norm(
         xz = x * (gate * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(dtype))
 
     n_groups = d // group_size
-    use_mm = (jax.default_backend() in ("tpu", "axon") if impl == "auto"
-              else impl == "mm")
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    # auto: the matmul grouping pays off when there are enough rows to
+    # fill MXU tiles; single-token decode (rows ~ batch) keeps the
+    # reshape path, whose relayout is trivial at one sublane of data.
+    use_mm = ((jax.default_backend() in ("tpu", "axon") and rows >= 64)
+              if impl == "auto" else impl == "mm")
     if n_groups > 1 and use_mm:
         # Grouped statistics WITHOUT reshaping: splitting the minor
         # (lane) dim (L, d) -> (L, G, d/G) relayouts every tile, and the
