@@ -1139,6 +1139,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             results.append({"metric": fn.__name__,
                             "error": f"{type(e).__name__}: {str(e)[:120]}"})
+        # drop bench-local device buffers before the next bench builds its
+        # own 9-16 GB working set: a single OOM otherwise cascades through
+        # every later bench in the process (seen at round-5 HEAD: five
+        # trailing benches all RESOURCE_EXHAUSTED after one real OOM).
+        import gc
+        gc.collect()
     for r in results:
         print(json.dumps(r))
     _append_suite(results)

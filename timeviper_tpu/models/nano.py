@@ -404,12 +404,15 @@ def attention_mixer_forward(
     cache_layer: Optional[Dict[str, Any]] = None,
     fill_cache: bool = False,
     max_len: int = 0,
+    training: bool = False,
 ) -> Tuple[jax.Array, Optional[Dict[str, Any]]]:
     """Prefill/training attention; optionally writes the KV cache.
 
     With no precomputed dense mask, the O(L)-memory Pallas flash kernel
     handles the causal(+packed) case — required for 16k+ prefill where a
-    dense (L, L) logits tensor would not fit HBM.
+    dense (L, L) logits tensor would not fit HBM. `training` selects the
+    flash kernel's conservative forward blocks (the save-residuals
+    forward AD uses does not fit VMEM at the big inference blocks).
     """
     B, L, _ = x.shape
     Hq, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -420,7 +423,8 @@ def attention_mixer_forward(
     if attn_mask is None:
         from timeviper_tpu.ops.flash_pallas import flash_attention
 
-        out = flash_attention(q, k, v, segment_ids=segment_ids, causal=True)
+        out = flash_attention(q, k, v, segment_ids=segment_ids, causal=True,
+                              conservative_blocks=training)
     else:
         out = attention(q, k, v, attn_mask)
     # named for the "scan" remat policy (see mamba_mixer_forward)
@@ -517,7 +521,7 @@ def mlp_mixer_forward(p: Dict[str, Any], cfg: NanoConfig, x: jax.Array) -> jax.A
 
 def _block_forward(
     layer_params, cfg, block_type, hidden, *, seq_idx, attn_mask,
-    cache_layer, fill_cache, max_len, fused_conv=False,
+    cache_layer, fill_cache, max_len, fused_conv=False, training=False,
 ):
     residual = hidden
     normed = rms_norm(hidden, layer_params["norm"]["weight"],
@@ -532,6 +536,7 @@ def _block_forward(
         out, new_cache = attention_mixer_forward(
             layer_params["mixer"], cfg, normed, segment_ids=seq_idx,
             attn_mask=attn_mask, fill_cache=fill_cache, max_len=max_len,
+            training=training,
         )
     else:
         out = mlp_mixer_forward(layer_params["mixer"], cfg, normed)
@@ -638,7 +643,7 @@ def nano_forward(
             return _block_forward(
                 lp, cfg, _bt, h, seq_idx=s_idx, attn_mask=a_mask,
                 cache_layer=None, fill_cache=fill_cache, max_len=cache_max_len,
-                fused_conv=fused_conv,
+                fused_conv=fused_conv, training=remat,
             )
 
         if remat and not fill_cache:

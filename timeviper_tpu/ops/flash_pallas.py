@@ -43,8 +43,17 @@ def flash_attention(
     segment_ids: Optional[jax.Array] = None,  # (B, L) int32
     causal: bool = True,
     scale: Optional[float] = None,
+    conservative_blocks: bool = False,
 ) -> jax.Array:
-    """Causal (optionally packed) attention; O(L) memory on TPU."""
+    """Causal (optionally packed) attention; O(L) memory on TPU.
+
+    `conservative_blocks` keeps the 512 forward blocks: REQUIRED when the
+    call will be differentiated — AD swaps in the kernel's save-residuals
+    forward, whose VMEM working set at block_q=2048 is 18.8 MB > the
+    16 MB budget (measured compile failure at the 13L/8192 train shape).
+    Training callers (nano remat path) set it; inference prefill gets the
+    measured-faster (2048, 1024) blocks.
+    """
     B, Lq, Hq, D = q.shape
     Lk, Hkv = k.shape[1], k.shape[2]
 
@@ -86,8 +95,11 @@ def flash_attention(
     # the 80k prefill. Anything larger fails Mosaic's VMEM budget. The
     # BACKWARD blocks stay at `blk`: the dkv/dq passes were tuned with
     # the train-step A/Bs and keep their measured operating point.
-    bq = next((b for b in (2048, 1024, 512, 256) if Lq % b == 0), blk)
-    bk = next((b for b in (1024, 512, 256) if Lk % b == 0), blk)
+    if conservative_blocks:
+        bq = bk = blk
+    else:
+        bq = next((b for b in (2048, 1024, 512, 256) if Lq % b == 0), blk)
+        bk = next((b for b in (1024, 512, 256) if Lk % b == 0), blk)
     sizes = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk,

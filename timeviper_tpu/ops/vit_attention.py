@@ -368,6 +368,9 @@ def encoder_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     seg = jnp.concatenate(
         [jnp.zeros((T,), jnp.int32), jnp.ones((pad_t,), jnp.int32)]
     )[None].repeat(B, axis=0)
+    # conservative blocks: this fallback can sit under a training grad
+    # (finetuned towers), where the save-residuals forward at the big
+    # inference blocks exceeds VMEM (see flash_pallas.flash_attention)
     out = flash_attention(qp, kp, vp, segment_ids=seg, causal=False,
-                          scale=1.0)
+                          scale=1.0, conservative_blocks=True)
     return out[:, :T, :, :hd]

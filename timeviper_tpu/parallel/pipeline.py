@@ -100,6 +100,7 @@ def _make_stage_fn(cfg: NanoConfig, block_types: Sequence[str],
             hidden, _ = _block_forward(
                 lp, cfg, bt, hidden, seq_idx=seq_idx, attn_mask=None,
                 cache_layer=None, fill_cache=False, max_len=0,
+                training=True,
             )
         if is_last:
             hidden = rms_norm(hidden, sp["norm_f"]["weight"],

@@ -129,7 +129,7 @@ class StreamedTrainer:
                 out, _ = _block_forward(
                     lp, cfg, block_type, hidden, seq_idx=None,
                     attn_mask=None, cache_layer=None, fill_cache=False,
-                    max_len=0)
+                    max_len=0, training=True)
                 return out
 
             self._fwd_cache[key] = fwd
@@ -146,7 +146,7 @@ class StreamedTrainer:
                     out, _ = _block_forward(
                         lp, cfg, block_type, h, seq_idx=None,
                         attn_mask=None, cache_layer=None, fill_cache=False,
-                        max_len=0)
+                        max_len=0, training=True)
                     return out
 
                 _, vjp = jax.vjp(f, lp, hidden)
