@@ -797,8 +797,12 @@ def bench_qlora(results):
     lp = jax.jit(lambda p: add_lora(p, rank=16))(lp)
     ids = jnp.zeros((1, L), jnp.int32)
 
-    def loss_fn(lora_flat):
-        p = graft_lora(lp, lora_flat)["llm_backbone"]
+    def loss_fn(lora_flat, base):
+        # base rides as a runtime operand: closing over it lowered the
+        # 9 GB int8 backbone into 7 GB of executable CONSTANTS, which the
+        # RPC relay then shipped with the graph (~45 min) before the
+        # backend OOM'd — the reason no qlora row was ever recorded
+        p = graft_lora(base, lora_flat)["llm_backbone"]
         out = nano_forward(p, cfg, input_ids=ids, remat=True)
         logp = jax.nn.log_softmax(out["logits"][:, :-1], axis=-1)
         return -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1).mean()
@@ -808,7 +812,7 @@ def bench_qlora(results):
     n_factor = sum(v.size for v in lora0.values())
     step = jax.jit(jax.grad(loss_fn))
     try:
-        dt = _timeit(lambda: _sync(next(iter(step(lora0).values()))))
+        dt = _timeit(lambda: _sync(next(iter(step(lora0, lp).values()))))
         try:
             stats = jax.devices()[0].memory_stats() or {}
             peak_gb = round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
